@@ -1,0 +1,120 @@
+"""STFT / iSTFT as dense DFT matmuls — the patched-GGML ops, TPU style.
+
+The reference needed custom ggml_stft/ggml_istft kernels (SURVEY.md §2.7,
+src/util.cpp:111-130, 202-217).  On TPU the n_fft involved is tiny (Kokoro:
+n_fft=20, hop=5), so framing + a [n_fft, 2*bins] DFT matmul is both exact and
+MXU-friendly; XLA fuses the framing gather into the matmul.
+
+Conventions (matching the reference):
+  * center framing: input reflect-padded by n_fft/2 on both sides
+  * n_frames = len(x) // hop (+1 for the final centered frame)
+  * one-sided spectra: bins = n_fft//2 + 1, returned as (magnitude, phase)
+  * istft output normalized by the running window^2 overlap sum
+    (util.cpp:202-217), output length = n_frames * hop
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def hann_window(n_fft: int) -> np.ndarray:
+    """sin^2 window, parity with util.cpp:132-137 (periodic hann)."""
+    i = np.arange(n_fft)
+    return np.square(np.sin(np.pi * i / n_fft)).astype(np.float32)
+
+
+def _dft_bases(n_fft: int, n_bins: int):
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), -np.sin(ang).astype(np.float32)
+
+
+def frame_signal(x, n_fft: int, hop: int, n_frames: int):
+    """[T] -> [n_frames, n_fft] centered frames (reflect padded)."""
+    half = n_fft // 2
+    xp = jnp.pad(x, (half, half + n_fft), mode="reflect")
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return xp[idx]
+
+
+def stft(x, window, n_fft: int, hop: int):
+    """x: [T] -> (magnitude [F, bins], phase [F, bins]), F = T//hop."""
+    n_bins = n_fft // 2 + 1
+    n_frames = x.shape[0] // hop
+    frames = frame_signal(x, n_fft, hop, n_frames) * window[None, :]
+    cos_b, sin_b = _dft_bases(n_fft, n_bins)
+    re = frames @ cos_b
+    im = frames @ sin_b
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
+    phase = jnp.arctan2(im, re)
+    return mag, phase
+
+
+def istft(mag, phase, window, window_sq_sum, n_fft: int, hop: int):
+    """(mag, phase) [F, bins] -> [F*hop] samples.
+
+    Inverse one-sided DFT per frame, windowed overlap-add with the reference's
+    center offset (first frame centered at sample 0), normalized by
+    `window_sq_sum` ([F*hop], precomputed by `window_squared_sum`).
+    """
+    n_frames, n_bins = mag.shape
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    # irfft via matmul: x[n] = (1/N) * sum_k w_k * (re_k cos + im_k sin)
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    # one-sided spectrum: double non-DC/non-Nyquist bins
+    scale = np.ones(n_bins, np.float32) * 2.0
+    scale[0] = 1.0
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0
+    cos_i = (np.cos(ang) * scale[None, :] / n_fft).astype(np.float32)
+    sin_i = (np.sin(ang) * scale[None, :] / n_fft).astype(np.float32)
+    # x_n = (1/N) sum_k scale_k (re_k cos - im_k sin)   [true-DFT im convention]
+    frames = re @ cos_i.T - im @ sin_i.T          # [F, n_fft]
+    frames = frames * window[None, :]
+
+    out_len = n_frames * hop
+    half = n_fft // 2
+    if n_fft % hop == 0:
+        # reshape-based overlap-add: n_fft/hop shifted strided sums
+        r = n_fft // hop
+        total = out_len + n_fft
+        acc = jnp.zeros((r, total), frames.dtype)
+        chunks = frames.reshape(n_frames, r, hop)
+        for j in range(r):
+            flat = chunks[:, j, :].reshape(-1)            # [F*hop]
+            acc = acc.at[j, j * hop : j * hop + out_len].set(flat)
+        out = jnp.sum(acc, axis=0)
+    else:
+        out = jnp.zeros(out_len + n_fft, frames.dtype)
+        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        out = out.at[idx.reshape(-1)].add(frames.reshape(-1))
+    # center offset: frame f covers samples [f*hop - half, f*hop + half)
+    out = out[half : half + out_len]
+    return out / window_sq_sum
+
+
+def window_squared_sum(window: np.ndarray, n_fft: int, hop: int,
+                       n_frames: int, out_len: int | None = None) -> np.ndarray:
+    """Accumulated window^2 for iSTFT normalization (host-side, numpy).
+    Parity: util.cpp:202-217 including the frames preceding sample 0.
+    `out_len` pads the tail with ones for bucketed execution."""
+    cutoff = n_frames * hop
+    half = n_fft // 2
+    tgt = np.zeros(cutoff, np.float32)
+    w2 = np.square(window.astype(np.float32))
+    for f in range(n_frames + half // hop):
+        start = f * hop - half
+        lo = max(0, -start)
+        hi = min(n_fft, cutoff - start)
+        if hi > lo:
+            tgt[start + lo : start + hi] += w2[lo:hi]
+    tgt[tgt == 0] = 1e-6
+    if out_len is not None and out_len > cutoff:
+        tgt = np.concatenate([tgt, np.ones(out_len - cutoff, np.float32)])
+    return tgt
