@@ -1,0 +1,66 @@
+"""Kokoro end-to-end tests on a tiny random model (GGUF round-trip included)."""
+
+import numpy as np
+import pytest
+
+from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
+from tts_tpu.models.registry import runner_from_file
+from tts_tpu.runtime.api import GenerationConfig, TTSError
+
+
+@pytest.fixture(scope="module")
+def tiny_runner(tmp_path_factory):
+    path = tmp_path_factory.mktemp("kokoro") / "tiny_kokoro.gguf"
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    return runner_from_file(str(path))
+
+
+def test_loads_and_lists_voices(tiny_runner):
+    assert tiny_runner.architecture == "kokoro"
+    assert tiny_runner.list_voices() == ["af_heart"]
+
+
+def test_generate_audio(tiny_runner):
+    resp = tiny_runner.generate("hello world", GenerationConfig(voice="af_heart"))
+    assert resp.sample_rate == 24000
+    assert resp.audio.dtype == np.float32
+    assert len(resp.audio) > 0
+    assert len(resp.audio) % 600 == 0          # up_sampling_factor multiple
+    assert np.isfinite(resp.audio).all()
+    # duration sanity: >= 1 frame per token
+    assert len(resp.audio) >= 600 * len("helo wrld")
+
+
+def test_bad_voice_raises(tiny_runner):
+    with pytest.raises(TTSError):
+        tiny_runner.generate("hi", GenerationConfig(voice="nope"))
+
+
+def test_deterministic_given_seed(tiny_runner):
+    cfg = GenerationConfig(voice="af_heart", seed=7)
+    a = tiny_runner.generate("hello world", cfg).audio
+    b = tiny_runner.generate("hello world", cfg).audio
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bucket_invariance(tiny_runner):
+    """Same text must produce (nearly) identical audio regardless of which
+    frame bucket it lands in — the masking contract."""
+    model = tiny_runner.model
+    tokens = [0] + [1, 2, 3, 16, 4, 5] + [0]
+    audio_small = model.synthesize(tokens, "af_heart", seed=1)
+
+    from tts_tpu.models import kokoro as K
+    orig = K.FRAME_BUCKETS
+    K.FRAME_BUCKETS = (orig[1],)   # force the next-size bucket
+    try:
+        audio_big = model.synthesize(tokens, "af_heart", seed=1)
+    finally:
+        K.FRAME_BUCKETS = orig
+    assert audio_small.shape == audio_big.shape
+    np.testing.assert_allclose(audio_small, audio_big, atol=2e-4)
+
+
+def test_empty_text(tiny_runner):
+    resp = tiny_runner.generate("...", GenerationConfig(voice="af_heart"))
+    assert len(resp.audio) == 0

@@ -121,8 +121,8 @@ def test_stft_istft_roundtrip(rng):
     x = rng.standard_normal(t).astype(np.float32)
     win = hann_window(n_fft)
     mag, phase = stft(jnp.asarray(x), jnp.asarray(win), n_fft, hop)
-    assert mag.shape == (t // hop, n_fft // 2 + 1)
-    wss = window_squared_sum(win, n_fft, hop, t // hop)
+    assert mag.shape == (t // hop + 1, n_fft // 2 + 1)
+    wss = window_squared_sum(win, n_fft, hop, t // hop + 1)
     y = np.asarray(istft(mag, phase, jnp.asarray(win), jnp.asarray(wss), n_fft, hop))
     assert y.shape == (t,)
     # perfect reconstruction away from edges

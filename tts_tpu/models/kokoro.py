@@ -1,0 +1,641 @@
+"""Kokoro-82M (StyleTTS2-family, non-autoregressive) — the flagship model.
+
+Architecture parity with /root/reference/src/models/kokoro/model.cpp, redesigned
+TPU-first:
+
+  * two pure jitted functions instead of per-call graph rebuilds —
+    `duration_forward` (ALBERT x12 recurrences -> prosody biLSTM stack ->
+    per-token durations, model.cpp:938-1047) and `generation_forward`
+    (alignment expansion -> F0/N branches -> text encoder -> AdaIN decoder ->
+    iSTFTNet generator -> iSTFT, model.cpp:1141-1242);
+  * LSTMs are `lax.scan`s (vs. 110k/570k-node unrolled graphs);
+  * shapes are bucketed (tokens, frames) with masks so XLA compiles a handful
+    of variants; masked LSTM/instance-norm keep padded runs numerically equal
+    to exact-shape runs in the valid region;
+  * the alignment (duration) matrix is built on device from the predicted
+    durations via cumsum + broadcast compare (model.cpp:1265-1274 builds it on
+    host per call).
+
+Weight names follow the GGUF layout written by py-gguf's KokoroEncoder and
+consumed by kokoro/model.cpp:414-696.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.ops.basic import (
+    ada_instance_norm, ada_layer_norm, instance_norm_time, layer_norm,
+    leaky_relu, snake,
+)
+from tts_tpu.ops.conv import conv1d, conv_transpose1d, reflect_pad_front
+from tts_tpu.ops.lstm import bilstm, pack_lstm_params
+from tts_tpu.ops.resample import upsample_linear, upsample_nearest
+from tts_tpu.ops.stft import hann_window, istft, stft, window_squared_sum
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class KokoroConfig:
+    # albert (kokoro/model.h:186-203 defaults; overridden by GGUF keys)
+    max_context_length: int = 512
+    vocab_size: int = 178
+    hidden_size: int = 768
+    n_attn_heads: int = 12
+    n_layers: int = 1
+    n_recurrence: int = 12
+    duration_hidden_size: int = 512
+    style_half_size: int = 128
+    max_duration_per_token: int = 50
+    # generator
+    up_sampling_factor: int = 600
+    upsample_scale: float = 300.0
+    n_kernels: int = 3
+    n_fft: int = 20
+    hop: int = 5
+    out_conv_padding: int = 3
+    harmonic_num: int = 8
+    sin_amp: float = 0.1
+    noise_std: float = 0.003
+    voice_threshold: float = 10.0
+    sample_rate: int = 24000
+    # per-block geometry (from GGUF keys)
+    up_conv_strides: tuple = (10, 6)
+    up_conv_paddings: tuple = (5, 3)
+    noise_conv_strides: tuple = (6, 1)
+    noise_conv_paddings: tuple = (3, 0)
+    # res_blocks[i][j] -> (padding, dilation); 6 main blocks, 2 noise blocks
+    res_block_geom: tuple = ()
+    noise_res_geom: tuple = ()
+    # tokens
+    bos_token_id: int = 0
+    eos_token_id: int = 0
+    space_token_id: int = 16
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.n_attn_heads
+
+    @staticmethod
+    def from_gguf_kv(kv: dict) -> "KokoroConfig":
+        g = lambda k, d: int(kv.get(k, d))
+        n_ups = g("kokoro.decoder.generator.upsamples", 2)
+        n_res = g("kokoro.decoder.generator.kernels", 3) * n_ups
+        n_noise = n_ups
+        res_geom = tuple(
+            tuple((g(f"kokoro.decoder.generator.res_blocks.{i}.{j}.padding", 1),
+                   g(f"kokoro.decoder.generator.res_blocks.{i}.{j}.dilation", 1))
+                  for j in range(3))
+            for i in range(n_res))
+        noise_geom = tuple(
+            tuple((g(f"kokoro.decoder.generator.noise_blocks.{i}.res_block.{j}.padding", 1),
+                   g(f"kokoro.decoder.generator.noise_blocks.{i}.res_block.{j}.dilation", 1))
+                  for j in range(3))
+            for i in range(n_noise))
+        n_fft = g("kokoro.decoder.generator.n_fft", 20)
+        return KokoroConfig(
+            max_context_length=g("kokoro.duration_predictor.albert.context_length", 512),
+            vocab_size=g("kokoro.tokenizer.vocab_size", 178),
+            hidden_size=g("kokoro.duration_predictor.albert.hidden_size", 768),
+            n_attn_heads=g("kokoro.duration_predictor.albert.attn_heads", 12),
+            n_layers=g("kokoro.duration_predictor.albert.layers", 1),
+            n_recurrence=g("kokoro.duration_predictor.albert.recurrence", 12),
+            duration_hidden_size=g("kokoro.duration_predictor.hidden_size", 512),
+            up_sampling_factor=g("kokoro.decoder.generator.up_sampling_factor", 600),
+            n_kernels=g("kokoro.decoder.generator.kernels", 3),
+            n_fft=n_fft,
+            hop=g("kokoro.decoder.generator.hop", 5),
+            out_conv_padding=g("kokoro.decoder.generator.padding", 3),
+            up_conv_strides=tuple(g(f"kokoro.decoder.generator.up_convs.{i}.stride", s)
+                                  for i, s in zip(range(n_ups), (10, 6))),
+            up_conv_paddings=tuple(g(f"kokoro.decoder.generator.up_convs.{i}.padding", p)
+                                   for i, p in zip(range(n_ups), (5, 3))),
+            noise_conv_strides=tuple(g(f"kokoro.decoder.generator.noise_blocks.{i}.stride", s)
+                                     for i, s in zip(range(n_noise), (6, 1))),
+            noise_conv_paddings=tuple(g(f"kokoro.decoder.generator.noise_blocks.{i}.padding", p)
+                                      for i, p in zip(range(n_noise), (3, 0))),
+            res_block_geom=res_geom,
+            noise_res_geom=noise_geom,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Param loading (GGUF name map -> nested pytree)
+# ---------------------------------------------------------------------------
+
+def _ada_block(get, base: str) -> dict:
+    """ADA residual conv block params (kokoro/model.cpp:528-578)."""
+    blk = {
+        "conv1_w": get(f"{base}.conv1_weight"), "conv1_b": get(f"{base}.conv1_bias"),
+        "conv2_w": get(f"{base}.conv2_weight"), "conv2_b": get(f"{base}.conv2_bias"),
+    }
+    for n in ("norm1", "norm2"):
+        for p in ("gamma", "beta"):
+            blk[f"{n}_{p}_w"] = get(f"{base}.{n}_{p}_weight").T
+            blk[f"{n}_{p}_b"] = get(f"{base}.{n}_{p}_bias")
+    pool = get(f"{base}.pool_weight", optional=True)
+    if pool is not None:
+        blk["pool_w"] = pool
+        blk["pool_b"] = get(f"{base}.pool_bias")
+    sc = get(f"{base}.conv1x1_weight", optional=True)
+    if sc is not None:
+        blk["sc_w"] = sc.reshape(sc.shape[0], -1).T      # [in, out]
+    return blk
+
+
+def _gen_res_block(get, base: str) -> dict:
+    """Generator AdaIN res block (3 conv pairs; kokoro/model.cpp:470-525)."""
+    blk = {"convs1_w": [], "convs1_b": [], "convs2_w": [], "convs2_b": [],
+           "alpha1": [], "alpha2": [], "g1_w": [], "g1_b": [], "b1_w": [], "b1_b": [],
+           "g2_w": [], "g2_b": [], "b2_w": [], "b2_b": []}
+    for j in range(3):
+        blk["convs1_w"].append(get(f"{base}.{j}.convs1_weight"))
+        blk["convs1_b"].append(get(f"{base}.{j}.convs1_bias"))
+        blk["convs2_w"].append(get(f"{base}.{j}.convs2_weight"))
+        blk["convs2_b"].append(get(f"{base}.{j}.convs2_bias"))
+        blk["alpha1"].append(get(f"{base}.{j}.alpha1").reshape(-1))
+        blk["alpha2"].append(get(f"{base}.{j}.alpha2").reshape(-1))
+        blk["g1_w"].append(get(f"{base}.{j}.gamma1_weight").T)
+        blk["g1_b"].append(get(f"{base}.{j}.gamma1_bias"))
+        blk["b1_w"].append(get(f"{base}.{j}.beta1_weight").T)
+        blk["b1_b"].append(get(f"{base}.{j}.beta1_bias"))
+        blk["g2_w"].append(get(f"{base}.{j}.gamma2_weight").T)
+        blk["g2_b"].append(get(f"{base}.{j}.gamma2_bias"))
+        blk["b2_w"].append(get(f"{base}.{j}.beta2_weight").T)
+        blk["b2_b"].append(get(f"{base}.{j}.beta2_bias"))
+    return blk
+
+
+def _lstm_params(tensors: dict, prefix: str) -> dict:
+    return {
+        "fwd": pack_lstm_params(tensors, f"{prefix}.0"),
+        "bwd": pack_lstm_params(tensors, f"{prefix}.0", reverse=True),
+    }
+
+
+def load_kokoro_params(tensors: dict, kv: dict, cfg: KokoroConfig) -> dict:
+    """tensors: name -> numpy array (GGUF names, 'kokoro.' prefix included)."""
+
+    def get(name, optional: bool = False):
+        t = tensors.get(name)
+        if t is None:
+            if optional:
+                return None
+            raise KeyError(f"kokoro: missing tensor {name}")
+        return jnp.asarray(np.asarray(t, dtype=np.float32))
+
+    p: dict = {}
+    a = "kokoro.albert"
+    p["albert"] = {
+        "token_embd": get(f"{a}.token_embd"),
+        "position_embd": get(f"{a}.position_embd"),
+        "token_type": get(f"{a}.token_type_embd"),
+        "norm_w": get(f"{a}.norm"), "norm_b": get(f"{a}.norm_bias"),
+        "embd_w": get(f"{a}.embd").T, "embd_b": get(f"{a}.embd_bias"),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        L = f"{a}.layer.{i}"
+        p["albert"]["layers"].append({
+            "q_w": get(f"{L}.q").T, "q_b": get(f"{L}.q_bias"),
+            "k_w": get(f"{L}.k").T, "k_b": get(f"{L}.k_bias"),
+            "v_w": get(f"{L}.v").T, "v_b": get(f"{L}.v_bias"),
+            "o_w": get(f"{L}.o").T, "o_b": get(f"{L}.o_bias"),
+            # GGUF "ffn_norm" = post-attention LN, "attn_norm" = post-FFN LN
+            # (model.cpp:736-771 maps them this way)
+            "post_attn_norm_w": get(f"{L}.ffn_norm"), "post_attn_norm_b": get(f"{L}.ffn_norm_bias"),
+            "post_ffn_norm_w": get(f"{L}.attn_norm"), "post_ffn_norm_b": get(f"{L}.attn_norm_bias"),
+            "ffn_w": get(f"{L}.ffn").T, "ffn_b": get(f"{L}.ffn_bias"),
+            "ffn_out_w": get(f"{L}.ffn_out").T, "ffn_out_b": get(f"{L}.ffn_out_bias"),
+        })
+
+    d = "kokoro.duration_predictor"
+    dp = {
+        "encode_w": get(f"{d}.encode").T, "encode_b": get(f"{d}.encode_bias"),
+        "duration_lstm": _lstm_params(tensors, f"{d}.duration_lstm"),
+        "duration_proj_w": get(f"{d}.duration_proj").T,
+        "duration_proj_b": get(f"{d}.duration_proj_bias"),
+        "shared_lstm": _lstm_params(tensors, f"{d}.shared_lstm"),
+        "f0_proj_w": get(f"{d}.f0_proj_kernel").reshape(-1),  # conv k=1 -> [C]
+        "f0_proj_b": get(f"{d}.f0_proj_bias").reshape(()),
+        "n_proj_w": get(f"{d}.n_proj_kernel").reshape(-1),
+        "n_proj_b": get(f"{d}.n_proj_bias").reshape(()),
+        "layers": [], "f0_blocks": [], "n_blocks": [],
+    }
+    i = 0
+    while f"{d}.layers.{2 * i}.lstm.0.weights.0" in tensors:
+        dp["layers"].append({
+            "lstm": _lstm_params(tensors, f"{d}.layers.{2 * i}.lstm"),
+            "gamma_w": get(f"{d}.layers.{2 * i + 1}.gamma_weight").T,
+            "gamma_b": get(f"{d}.layers.{2 * i + 1}.gamma_bias"),
+            "beta_w": get(f"{d}.layers.{2 * i + 1}.beta_weight").T,
+            "beta_b": get(f"{d}.layers.{2 * i + 1}.beta_bias"),
+        })
+        i += 1
+    i = 0
+    while f"{d}.f0_blocks.{i}.conv1_weight" in tensors:
+        dp["f0_blocks"].append(_ada_block(get, f"{d}.f0_blocks.{i}"))
+        dp["n_blocks"].append(_ada_block(get, f"{d}.n_blocks.{i}"))
+        i += 1
+    p["dp"] = dp
+
+    t = "kokoro.text_encoder"
+    te = {"embd": get(f"{t}.embedding_weight"),
+          "lstm": _lstm_params(tensors, f"{t}.lstm"), "convs": []}
+    i = 0
+    while f"{t}.layers.{i}.weight" in tensors:
+        te["convs"].append({
+            "w": get(f"{t}.layers.{i}.weight"), "b": get(f"{t}.layers.{i}.bias"),
+            "gamma": get(f"{t}.layers.{i}.gamma"), "beta": get(f"{t}.layers.{i}.beta"),
+        })
+        i += 1
+    p["text_encoder"] = te
+
+    dec = "kokoro.decoder"
+    asr_w = get(f"{dec}.asr_conv_weight")
+    decoder = {
+        "f0_conv_w": get(f"{dec}.f0_conv_weight"), "f0_conv_b": get(f"{dec}.f0_conv_bias"),
+        "n_conv_w": get(f"{dec}.n_conv_weight"), "n_conv_b": get(f"{dec}.n_conv_bias"),
+        "asr_w": asr_w.reshape(asr_w.shape[0], -1).T, "asr_b": get(f"{dec}.asr_conv_bias"),
+        "encoder_block": _ada_block(get, f"{dec}.encoder_block"),
+        "blocks": [],
+    }
+    i = 0
+    while f"{dec}.decoder_blocks.{i}.conv1_weight" in tensors:
+        decoder["blocks"].append(_ada_block(get, f"{dec}.decoder_blocks.{i}"))
+        i += 1
+
+    g = f"{dec}.generator"
+    gen = {
+        "m_source_w": get(f"{g}.m_source_weight").reshape(1, -1).T,
+        "m_source_b": get(f"{g}.m_source_bias"),
+        "out_conv_w": get(f"{g}.conv_post_weight"), "out_conv_b": get(f"{g}.conv_post_bias"),
+        "ups": [], "noise_blocks": [], "res_blocks": [],
+    }
+    i = 0
+    while f"{g}.ups.{i}.weight" in tensors:
+        gen["ups"].append({"w": get(f"{g}.ups.{i}.weight"), "b": get(f"{g}.ups.{i}.bias")})
+        i += 1
+    i = 0
+    while f"{g}.noise_blocks.{i}.conv_weight" in tensors:
+        gen["noise_blocks"].append({
+            "conv_w": get(f"{g}.noise_blocks.{i}.conv_weight"),
+            "conv_b": get(f"{g}.noise_blocks.{i}.conv_bias"),
+            "res": _gen_res_block(get, f"{g}.noise_blocks.{i}.resblock"),
+        })
+        i += 1
+    i = 0
+    while f"{g}.resblocks.{i}.0.convs1_weight" in tensors:
+        gen["res_blocks"].append(_gen_res_block(get, f"{g}.resblocks.{i}"))
+        i += 1
+    decoder["generator"] = gen
+    p["decoder"] = decoder
+
+    p["voices"] = {}
+    for name in list(kv.get("kokoro.voices", [])):
+        tname = f"kokoro.voice_tensors.{name}"
+        if tname in tensors:
+            p["voices"][name] = get(tname)
+    # fall back: pick up any voice tensors not listed in the KV array
+    for name in tensors:
+        if name.startswith("kokoro.voice_tensors."):
+            vn = name[len("kokoro.voice_tensors."):]
+            p["voices"].setdefault(vn, get(name))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward graphs
+# ---------------------------------------------------------------------------
+
+def _albert_encode(albert, cfg: KokoroConfig, tokens, token_mask):
+    """ALBERT encoder with n_recurrence passes of the shared layer
+    (parity: kokoro/model.cpp:961-1008)."""
+    T = tokens.shape[0]
+    x = albert["token_embd"][tokens] + albert["position_embd"][:T] + albert["token_type"]
+    x = layer_norm(x, eps=1e-12) * albert["norm_w"] + albert["norm_b"]
+    x = x @ albert["embd_w"] + albert["embd_b"]
+
+    neg = jnp.asarray(-1e9, x.dtype)
+    attn_bias = jnp.where(token_mask[None, :] > 0, 0.0, neg)    # [1, T] keys
+    scale = 1.0 / math.sqrt(cfg.head_size)
+
+    for _ in range(cfg.n_recurrence):
+        for L in albert["layers"]:
+            q = (x @ L["q_w"] + L["q_b"]).reshape(T, cfg.n_attn_heads, cfg.head_size)
+            k = (x @ L["k_w"] + L["k_b"]).reshape(T, cfg.n_attn_heads, cfg.head_size)
+            v = (x @ L["v_w"] + L["v_b"]).reshape(T, cfg.n_attn_heads, cfg.head_size)
+            logits = jnp.einsum("qhd,khd->hqk", q, k) * scale + attn_bias[None]
+            w = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("hqk,khd->qhd", w, v).reshape(T, cfg.hidden_size)
+            attn = attn @ L["o_w"] + L["o_b"]
+            x = attn + x
+            x = layer_norm(x, eps=1e-12) * L["post_attn_norm_w"] + L["post_attn_norm_b"]
+            h = jax.nn.gelu(x @ L["ffn_w"] + L["ffn_b"])
+            h = h @ L["ffn_out_w"] + L["ffn_out_b"]
+            x = h + x
+            x = layer_norm(x, eps=1e-12) * L["post_ffn_norm_w"] + L["post_ffn_norm_b"]
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def duration_forward(params, cfg: KokoroConfig, tokens, token_mask, style):
+    """tokens [T] int32 (padded), token_mask [T], style [128] (second half of
+    the voice row).  Returns (durations [T] float, hidden [T, 640])."""
+    dp = params["dp"]
+    x = _albert_encode(params["albert"], cfg, tokens, token_mask)
+    x = x @ dp["encode_w"] + dp["encode_b"]
+
+    style_row = jnp.broadcast_to(style, (x.shape[0], style.shape[0]))
+    x = jnp.concatenate([x, style_row], axis=-1)
+    for layer in dp["layers"]:
+        x = bilstm(x, layer["lstm"]["fwd"], layer["lstm"]["bwd"], mask=token_mask)
+        gamma = style @ layer["gamma_w"] + layer["gamma_b"]
+        beta = style @ layer["beta_w"] + layer["beta_b"]
+        x = ada_layer_norm(x, gamma, beta)
+        x = jnp.concatenate([x, style_row], axis=-1)
+
+    hidden = x                                                   # [T, 640]
+    y = bilstm(x, dp["duration_lstm"]["fwd"], dp["duration_lstm"]["bwd"], mask=token_mask)
+    y = jax.nn.sigmoid(y @ dp["duration_proj_w"] + dp["duration_proj_b"])
+    durations = jnp.clip(jnp.round(jnp.sum(y, axis=-1)), 1.0, 50.0)
+    durations = durations * token_mask
+    return durations, hidden
+
+
+def _ada_res_block(x, blk, style, mask=None):
+    """AdainResBlk1d (parity: kokoro/model.cpp:88-134).  x: [T, C]."""
+    gamma1 = style @ blk["norm1_gamma_w"] + blk["norm1_gamma_b"]
+    beta1 = style @ blk["norm1_beta_w"] + blk["norm1_beta_b"]
+    cur = ada_instance_norm(x, gamma1, beta1, mask=mask)
+    cur = leaky_relu(cur, 0.2)
+    out_mask = mask
+    if "pool_w" in blk:
+        # depthwise transposed conv k=3 s=2 (time x2)
+        cur = conv_transpose1d(cur, blk["pool_w"], blk["pool_b"], stride=2,
+                               padding=1, output_padding=1, groups=cur.shape[1])
+        out_mask = None if mask is None else upsample_nearest(mask, 2)
+    cur = conv1d(cur, blk["conv1_w"], blk["conv1_b"], padding=1)
+    gamma2 = style @ blk["norm2_gamma_w"] + blk["norm2_gamma_b"]
+    beta2 = style @ blk["norm2_beta_w"] + blk["norm2_beta_b"]
+    cur = ada_instance_norm(cur, gamma2, beta2, mask=out_mask)
+    cur = leaky_relu(cur, 0.2)
+    cur = conv1d(cur, blk["conv2_w"], blk["conv2_b"], padding=1)
+
+    res = x
+    if "sc_w" in blk:
+        if "pool_w" in blk:
+            res = upsample_nearest(res, 2, axis=0)
+        res = res @ blk["sc_w"]
+    return (cur + res) / math.sqrt(2.0), out_mask
+
+
+def _gen_res_block_apply(x, blk, style, geom, mask=None):
+    """Generator AdaIN residual block (parity: kokoro/model.cpp:136-165).
+
+    The pad-region is re-zeroed after every conv so that a padded-bucket run
+    equals an exact-shape run (zeros beyond the true end are exactly what a
+    'same' conv would pad with)."""
+    mcol = None if mask is None else mask[:, None]
+    inp = x
+    for j in range(len(blk["convs1_w"])):
+        padding, dilation = geom[j]
+        gamma = style @ blk["g1_w"][j] + blk["g1_b"][j]
+        beta = style @ blk["b1_w"][j] + blk["b1_b"][j]
+        cur = ada_instance_norm(inp, gamma, beta, mask=mask)
+        cur = snake(cur, blk["alpha1"][j])
+        if mcol is not None:
+            cur = cur * mcol
+        cur = conv1d(cur, blk["convs1_w"][j], blk["convs1_b"][j],
+                     padding=padding, dilation=dilation)
+        gamma = style @ blk["g2_w"][j] + blk["g2_b"][j]
+        beta = style @ blk["b2_w"][j] + blk["b2_b"][j]
+        cur = ada_instance_norm(cur, gamma, beta, mask=mask)
+        cur = snake(cur, blk["alpha2"][j])
+        if mcol is not None:
+            cur = cur * mcol
+        cur = conv1d(cur, blk["convs2_w"][j], blk["convs2_b"][j], padding=geom[0][0])
+        if mcol is not None:
+            cur = cur * mcol
+        inp = inp + cur
+    return inp
+
+
+def _sine_source(cfg: KokoroConfig, f0, frame_mask, noise_key):
+    """Harmonic source: cumsum-mod sine gen + voiced/unvoiced noise
+    (parity: build_sin_gen, kokoro/model.cpp:173-193 + util.cpp:139-172)."""
+    nh = cfg.harmonic_num + 1
+    harmonics = (jnp.arange(1, nh + 1, dtype=jnp.float32) / cfg.sample_rate)
+    rad = (f0[:, None] * harmonics[None, :]) % 1.0               # [F2, nh]
+    phase = jnp.cumsum(rad, axis=0) * (cfg.upsample_scale * 2.0 * np.pi)
+    phase = upsample_linear(phase, int(cfg.upsample_scale), axis=0)   # [S, nh]
+    f0_up = upsample_nearest(f0, int(cfg.upsample_scale))             # [S]
+
+    voiced = (f0_up > cfg.voice_threshold).astype(jnp.float32)[:, None]
+    noise = jax.random.normal(noise_key, phase.shape, jnp.float32)
+    amp = voiced * cfg.sin_amp
+    noise_amp = voiced * cfg.noise_std + (1.0 - voiced) * (cfg.sin_amp / 3.0)
+    return jnp.sin(phase) * amp + noise * noise_amp                    # [S, nh]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
+                       hidden, style_gen, style_pros, noise_key, window, wss):
+    """The full Kokoro generation graph on padded buckets.
+
+    tokens/token_mask [T]; durations [T] float (0 for padding); hidden [T, 640];
+    style_gen/style_pros [128]; window [n_fft]; wss [S] window^2-sum.
+    Returns audio [F * up_sampling_factor] where F = alignment frame bucket
+    (wss length / up_sampling_factor).
+    """
+    dp, dec = params["dp"], params["decoder"]
+    S = wss.shape[0]
+    F = S // cfg.up_sampling_factor           # token-frame bucket
+    F2 = 2 * F                                # post-upsample frame rate
+
+    # alignment [F, T] from durations (device-side; model.cpp:1265-1274)
+    ends = jnp.cumsum(durations)
+    starts = ends - durations
+    fidx = jnp.arange(F, dtype=jnp.float32)[:, None]
+    align = ((fidx >= starts[None, :]) & (fidx < ends[None, :])).astype(jnp.float32)
+    total = jnp.sum(durations)
+    frame_mask = (fidx[:, 0] < total).astype(jnp.float32)         # [F]
+    frame2_mask = upsample_nearest(frame_mask, 2)                 # [F2]
+
+    # prosody branch
+    x = align @ hidden                                            # [F, 640]
+    x = bilstm(x, dp["shared_lstm"]["fwd"], dp["shared_lstm"]["bwd"], mask=frame_mask)
+
+    f0 = x
+    f0_mask = frame_mask
+    for blk in dp["f0_blocks"]:
+        f0, f0_mask = _ada_res_block(f0, blk, style_pros, mask=f0_mask)
+    f0_curve = f0 @ dp["f0_proj_w"] + dp["f0_proj_b"]             # [F2]
+
+    n = x
+    n_mask = frame_mask
+    for blk in dp["n_blocks"]:
+        n, n_mask = _ada_res_block(n, blk, style_pros, mask=n_mask)
+    n_curve = n @ dp["n_proj_w"] + dp["n_proj_b"]                 # [F2]
+
+    # text encoder branch
+    te = params["text_encoder"]
+    t = te["embd"][tokens]                                        # [T, 512]
+    for conv in te["convs"]:
+        t = conv1d(t, conv["w"], conv["b"], padding=2)
+        t = layer_norm(t, eps=1e-5) * conv["gamma"] + conv["beta"]
+        t = leaky_relu(t, 0.2)
+        t = t * token_mask[:, None]
+    t = bilstm(t, te["lstm"]["fwd"], te["lstm"]["bwd"], mask=token_mask)
+    asr = align @ t                                               # [F, 512]
+
+    # decoder (parity: model.cpp:1209-1232)
+    f0_d = conv1d(f0_curve[:, None], dec["f0_conv_w"], dec["f0_conv_b"],
+                  stride=2, padding=1)                            # [F, 64]
+    n_d = conv1d(n_curve[:, None], dec["n_conv_w"], dec["n_conv_b"],
+                 stride=2, padding=1)
+    cur = jnp.concatenate([asr, f0_d, n_d], axis=-1)
+    cur, cur_mask = _ada_res_block(cur, dec["encoder_block"], style_gen, mask=frame_mask)
+    asr_res = asr @ dec["asr_w"] + dec["asr_b"]                   # [F, 64]
+    for blk in dec["blocks"]:
+        cat = jnp.concatenate([cur, asr_res, f0_d, n_d], axis=-1)
+        cur, cur_mask = _ada_res_block(cat, blk, style_gen, mask=cur_mask)
+    # cur: [F2, C] after the last (upsampling) block
+
+    # generator (parity: build_generator, model.cpp:195-244)
+    gen = dec["generator"]
+    source = _sine_source(cfg, f0_curve, frame2_mask, noise_key)  # [S, nh]
+    har = jnp.tanh(source @ gen["m_source_w"] + gen["m_source_b"])[:, 0]   # [S]
+    mag, phase = stft(har, window, cfg.n_fft, cfg.hop)            # [S/hop+1, bins]
+    har_spec = jnp.concatenate([mag, phase], axis=-1)             # [.., 2*bins]
+
+    x = cur * cur_mask[:, None]
+    n_ups = len(gen["ups"])
+    valid = 2 * total                     # valid frames at the current rate
+    for i in range(n_ups):
+        x = leaky_relu(x, 0.1)
+        x = conv_transpose1d(x, gen["ups"][i]["w"], gen["ups"][i]["b"],
+                             stride=cfg.up_conv_strides[i],
+                             padding=cfg.up_conv_paddings[i])
+        valid = valid * cfg.up_conv_strides[i]
+        if i == n_ups - 1:
+            x = reflect_pad_front(x, 1)
+            valid = valid + 1
+        m = (jnp.arange(x.shape[0], dtype=jnp.float32) < valid).astype(x.dtype)
+        x = x * m[:, None]
+        src = conv1d(har_spec, gen["noise_blocks"][i]["conv_w"],
+                     gen["noise_blocks"][i]["conv_b"],
+                     stride=cfg.noise_conv_strides[i],
+                     padding=cfg.noise_conv_paddings[i])
+        sm = (jnp.arange(src.shape[0], dtype=jnp.float32)
+              < valid).astype(x.dtype)
+        src = src * sm[:, None]
+        src = _gen_res_block_apply(src, gen["noise_blocks"][i]["res"],
+                                   style_gen, cfg.noise_res_geom[i], mask=sm)
+        x = x + src
+        acc = None
+        for k in range(cfg.n_kernels):
+            r = _gen_res_block_apply(x, gen["res_blocks"][i * cfg.n_kernels + k],
+                                     style_gen, cfg.res_block_geom[i * cfg.n_kernels + k],
+                                     mask=m)
+            acc = r if acc is None else acc + r
+        x = acc / float(cfg.n_kernels)
+
+    x = leaky_relu(x, 0.01)
+    x = conv1d(x, gen["out_conv_w"], gen["out_conv_b"], padding=cfg.out_conv_padding)
+    n_bins = cfg.n_fft // 2 + 1
+    fmask = (jnp.arange(x.shape[0], dtype=jnp.float32) < valid).astype(x.dtype)[:, None]
+    spec = jnp.exp(x[:, :n_bins]) * fmask
+    ph = jnp.sin(x[:, n_bins:]) * fmask
+    audio = istft(spec, ph, window, wss, cfg.n_fft, cfg.hop)      # [S]
+    return audio
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+TOKEN_BUCKETS = (64, 128, 256, 512)
+FRAME_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 25600)
+
+
+def pick_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class KokoroModel:
+    """Device-facing model state: config + params + jit caches."""
+
+    def __init__(self, cfg: KokoroConfig, params: dict):
+        self.cfg = cfg
+        self.params = params
+        self.window = jnp.asarray(hann_window(cfg.n_fft))
+
+    @classmethod
+    def from_gguf(cls, gguf_file) -> "KokoroModel":
+        import dataclasses
+
+        cfg = KokoroConfig.from_gguf_kv(gguf_file.kv)
+        tensors = {name: t.to_numpy() for name, t in gguf_file.tensors.items()}
+        params = load_kokoro_params(tensors, gguf_file.kv, cfg)
+        if params["voices"]:
+            # the style vector width is defined by the voice packs (the
+            # reference hardcodes 128 halves, kokoro/model.h:212)
+            width = next(iter(params["voices"].values())).shape[1]
+            if width // 2 != cfg.style_half_size:
+                cfg = dataclasses.replace(cfg, style_half_size=width // 2)
+        return cls(cfg, params)
+
+    def voice_style(self, voice: str, n_tokens: int):
+        """Voice row indexed by token count (model.cpp:1013,1150: row T-3)."""
+        pack = self.params["voices"][voice]
+        row = pack[min(max(n_tokens - 3, 0), pack.shape[0] - 1)]
+        half = self.cfg.style_half_size
+        return row[:half], row[half : 2 * half]   # (decoder style, prosody style)
+
+    def predict_durations(self, token_ids: list[int], voice: str):
+        cfg = self.cfg
+        T = len(token_ids)
+        Tb = pick_bucket(T, TOKEN_BUCKETS)
+        tokens = np.zeros(Tb, np.int32)
+        tokens[:T] = token_ids
+        mask = np.zeros(Tb, np.float32)
+        mask[:T] = 1.0
+        _, style_pros = self.voice_style(voice, T)
+        durations, hidden = duration_forward(
+            self.params, cfg, jnp.asarray(tokens), jnp.asarray(mask), style_pros)
+        return tokens, mask, durations, hidden
+
+    def synthesize(self, token_ids: list[int], voice: str, seed: int = 0):
+        """Full two-graph pipeline for one chunk -> float32 PCM numpy array."""
+        cfg = self.cfg
+        T = len(token_ids)
+        tokens, mask, durations, hidden = self.predict_durations(token_ids, voice)
+        dur_host = np.asarray(durations)
+        total = int(dur_host.sum())
+        if total <= 0:
+            return np.zeros(0, np.float32)
+        F = pick_bucket(total, FRAME_BUCKETS)
+        S = F * cfg.up_sampling_factor
+        n_frames_true = total * cfg.up_sampling_factor // cfg.hop
+        wss = window_squared_sum(np.asarray(self.window), cfg.n_fft, cfg.hop,
+                                 n_frames_true, out_len=S)
+        style_gen, style_pros = self.voice_style(voice, T)
+        audio = generation_forward(
+            self.params, cfg, jnp.asarray(tokens), jnp.asarray(mask),
+            durations, hidden, style_gen, style_pros,
+            jax.random.PRNGKey(seed), self.window, jnp.asarray(wss))
+        return np.asarray(audio[: total * cfg.up_sampling_factor])

@@ -1,0 +1,1 @@
+"""Placeholder — orpheus model lands in a later milestone of this build."""

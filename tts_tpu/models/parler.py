@@ -1,0 +1,1 @@
+"""Placeholder — parler model lands in a later milestone of this build."""

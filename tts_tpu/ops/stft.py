@@ -5,12 +5,12 @@ src/util.cpp:111-130, 202-217).  On TPU the n_fft involved is tiny (Kokoro:
 n_fft=20, hop=5), so framing + a [n_fft, 2*bins] DFT matmul is both exact and
 MXU-friendly; XLA fuses the framing gather into the matmul.
 
-Conventions (matching the reference):
+Conventions (matching the reference / torch.stft(center=True)):
   * center framing: input reflect-padded by n_fft/2 on both sides
-  * n_frames = len(x) // hop (+1 for the final centered frame)
+  * stft produces F = len(x)//hop + 1 frames
   * one-sided spectra: bins = n_fft//2 + 1, returned as (magnitude, phase)
-  * istft output normalized by the running window^2 overlap sum
-    (util.cpp:202-217), output length = n_frames * hop
+  * istft of F frames produces (F-1)*hop samples, normalized by the running
+    window^2 overlap sum (util.cpp:202-217)
 """
 
 from __future__ import annotations
@@ -41,9 +41,9 @@ def frame_signal(x, n_fft: int, hop: int, n_frames: int):
 
 
 def stft(x, window, n_fft: int, hop: int):
-    """x: [T] -> (magnitude [F, bins], phase [F, bins]), F = T//hop."""
+    """x: [T] -> (magnitude [F, bins], phase [F, bins]), F = T//hop + 1."""
     n_bins = n_fft // 2 + 1
-    n_frames = x.shape[0] // hop
+    n_frames = x.shape[0] // hop + 1
     frames = frame_signal(x, n_fft, hop, n_frames) * window[None, :]
     cos_b, sin_b = _dft_bases(n_fft, n_bins)
     re = frames @ cos_b
@@ -54,7 +54,7 @@ def stft(x, window, n_fft: int, hop: int):
 
 
 def istft(mag, phase, window, window_sq_sum, n_fft: int, hop: int):
-    """(mag, phase) [F, bins] -> [F*hop] samples.
+    """(mag, phase) [F, bins] -> [(F-1)*hop] samples.
 
     Inverse one-sided DFT per frame, windowed overlap-add with the reference's
     center offset (first frame centered at sample 0), normalized by
@@ -78,20 +78,21 @@ def istft(mag, phase, window, window_sq_sum, n_fft: int, hop: int):
     frames = re @ cos_i.T - im @ sin_i.T          # [F, n_fft]
     frames = frames * window[None, :]
 
-    out_len = n_frames * hop
+    out_len = (n_frames - 1) * hop
     half = n_fft // 2
     if n_fft % hop == 0:
         # reshape-based overlap-add: n_fft/hop shifted strided sums
         r = n_fft // hop
-        total = out_len + n_fft
+        total = out_len + 2 * n_fft
         acc = jnp.zeros((r, total), frames.dtype)
         chunks = frames.reshape(n_frames, r, hop)
+        flat_len = n_frames * hop
         for j in range(r):
             flat = chunks[:, j, :].reshape(-1)            # [F*hop]
-            acc = acc.at[j, j * hop : j * hop + out_len].set(flat)
+            acc = acc.at[j, j * hop : j * hop + flat_len].set(flat)
         out = jnp.sum(acc, axis=0)
     else:
-        out = jnp.zeros(out_len + n_fft, frames.dtype)
+        out = jnp.zeros(out_len + 2 * n_fft, frames.dtype)
         idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
         out = out.at[idx.reshape(-1)].add(frames.reshape(-1))
     # center offset: frame f covers samples [f*hop - half, f*hop + half)
@@ -102,13 +103,14 @@ def istft(mag, phase, window, window_sq_sum, n_fft: int, hop: int):
 def window_squared_sum(window: np.ndarray, n_fft: int, hop: int,
                        n_frames: int, out_len: int | None = None) -> np.ndarray:
     """Accumulated window^2 for iSTFT normalization (host-side, numpy).
-    Parity: util.cpp:202-217 including the frames preceding sample 0.
-    `out_len` pads the tail with ones for bucketed execution."""
-    cutoff = n_frames * hop
+    `n_frames` is the spectrum frame count F; output covers (F-1)*hop samples.
+    Parity: util.cpp:202-217.  `out_len` pads the tail with ones for bucketed
+    execution."""
+    cutoff = (n_frames - 1) * hop
     half = n_fft // 2
-    tgt = np.zeros(cutoff, np.float32)
+    tgt = np.zeros(max(cutoff, 1), np.float32)
     w2 = np.square(window.astype(np.float32))
-    for f in range(n_frames + half // hop):
+    for f in range(n_frames):
         start = f * hop - half
         lo = max(0, -start)
         hi = min(n_fft, cutoff - start)
