@@ -348,10 +348,10 @@ def _albert_encode(albert, cfg: KokoroConfig, tokens, token_mask):
     return x
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def duration_forward(params, cfg: KokoroConfig, tokens, token_mask, style):
-    """tokens [T] int32 (padded), token_mask [T], style [128] (second half of
-    the voice row).  Returns (durations [T] float, hidden [T, 640])."""
+def duration_raw(params, cfg: KokoroConfig, tokens, token_mask, style):
+    """Differentiable core of duration prediction: returns (pre-round duration
+    sums [T], hidden [T, 640]).  Used by inference (rounded/clamped below) and
+    by the training step (parallel/training.py)."""
     dp = params["dp"]
     x = _albert_encode(params["albert"], cfg, tokens, token_mask)
     x = x @ dp["encode_w"] + dp["encode_b"]
@@ -368,8 +368,15 @@ def duration_forward(params, cfg: KokoroConfig, tokens, token_mask, style):
     hidden = x                                                   # [T, 640]
     y = bilstm(x, dp["duration_lstm"]["fwd"], dp["duration_lstm"]["bwd"], mask=token_mask)
     y = jax.nn.sigmoid(y @ dp["duration_proj_w"] + dp["duration_proj_b"])
-    durations = jnp.clip(jnp.round(jnp.sum(y, axis=-1)), 1.0, 50.0)
-    durations = durations * token_mask
+    return jnp.sum(y, axis=-1), hidden
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def duration_forward(params, cfg: KokoroConfig, tokens, token_mask, style):
+    """tokens [T] int32 (padded), token_mask [T], style [128] (second half of
+    the voice row).  Returns (durations [T] float, hidden [T, 640])."""
+    sums, hidden = duration_raw(params, cfg, tokens, token_mask, style)
+    durations = jnp.clip(jnp.round(sums), 1.0, 50.0) * token_mask
     return durations, hidden
 
 

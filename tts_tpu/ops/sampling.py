@@ -1,0 +1,74 @@
+"""On-device multi-head sampling: temperature, repetition penalty, top-k,
+top-p, categorical draw — one jitted function over a [heads, vocab] tile.
+
+Behavior parity with the reference's host-side sampler
+(/root/reference/src/sampler.cpp:3-204): per-head *consecutive-repeat*
+repetition penalty (logit / penalty^count for the single last-sampled id),
+temperature before top-k/top-p, nucleus kept inclusively up to top_p, greedy
+path when do_sample=False.  Unlike the reference this runs on the TPU inside
+the decode step, so logits never cross to the host.
+
+State is a dict {"last": int32 [H], "count": int32 [H]} matching
+sampler.cpp:57-63's update rule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def init_state(n_heads: int) -> dict:
+    return {"last": jnp.full((n_heads,), -1, jnp.int32),
+            "count": jnp.zeros((n_heads,), jnp.int32)}
+
+
+@partial(jax.jit, static_argnames=("top_k", "do_sample"))
+def sample_tokens(key, logits, state, *, temperature: float | jax.Array = 1.0,
+                  top_k: int = 0, top_p: float | jax.Array = 1.0,
+                  repetition_penalty: float | jax.Array = 1.0,
+                  do_sample: bool = True):
+    """logits [H, V] -> (tokens [H] int32, new_state).
+
+    temperature/top_p/repetition_penalty may be traced scalars so one compiled
+    step serves any config; top_k and do_sample are static.
+    """
+    H, V = logits.shape
+    logits = logits.astype(jnp.float32)
+
+    if do_sample:
+        # consecutive-repeat penalty on the last sampled id per head
+        rep = jnp.asarray(repetition_penalty, jnp.float32)
+        pen = jnp.power(rep, state["count"].astype(jnp.float32))      # [H]
+        onehot_last = jax.nn.one_hot(state["last"], V, dtype=jnp.float32)
+        scale = 1.0 + onehot_last * (1.0 / pen - 1.0)[:, None]
+        logits = logits * scale
+        logits = logits / jnp.asarray(temperature, jnp.float32)
+
+        if top_k and top_k < V:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1]              # [H]
+            logits = jnp.where(logits < kth[:, None], -jnp.inf, logits)
+
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        # nucleus: keep the smallest prefix of the sorted probs with
+        # cumsum >= top_p (inclusive, sampler.cpp topp semantics)
+        tp = jnp.asarray(top_p, jnp.float32)
+        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        keep_sorted = (cum - sorted_probs) < tp                        # [H, V]
+        thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1)
+        probs = jnp.where(probs >= thresh[:, None], probs, 0.0)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        tokens = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+        tokens = tokens.astype(jnp.int32)
+    else:
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    same = tokens == state["last"]
+    new_count = jnp.where(same, state["count"] + 1, 1).astype(jnp.int32)
+    new_state = {"last": tokens, "count": new_count}
+    return tokens, new_state
