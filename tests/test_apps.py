@@ -1,0 +1,131 @@
+"""CLI and server end-to-end tests using the weight-free dummy runner."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tts_tpu.utils.audio import read_wav
+
+
+def test_cli_dummy_writes_wav(tmp_path, capsys):
+    from tts_tpu.apps.cli import main
+    out = tmp_path / "out.wav"
+    rc = main(["--model-path", "test:dummy", "--prompt", "abc",
+               "--save-path", str(out)])
+    assert rc == 0
+    audio, sr = read_wav(str(out))
+    assert sr == 44100
+    assert len(audio) == 3 * 44100          # 1s of sine per character
+    assert np.abs(audio).max() > 0.1
+
+
+def test_cli_rejects_bad_top_p(tmp_path):
+    from tts_tpu.apps.cli import main
+    rc = main(["--model-path", "test:dummy", "--prompt", "x",
+               "--top-p", "1.5", "--save-path", str(tmp_path / "o.wav")])
+    assert rc == 1
+
+
+def test_cli_conditional_requires_encoder(tmp_path):
+    from tts_tpu.apps.cli import main
+    rc = main(["--model-path", "test:dummy", "--prompt", "x",
+               "--conditional-prompt", "calm voice",
+               "--save-path", str(tmp_path / "o.wav")])
+    assert rc == 1
+
+
+def test_vad_trims_trailing_silence():
+    from tts_tpu.runtime.vad import trim_silence
+    sr = 24000
+    t = np.arange(sr, dtype=np.float32) / sr
+    speech = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    silence = np.zeros(sr, np.float32)
+    trimmed = trim_silence(np.concatenate([speech, silence]), sr)
+    assert len(trimmed) < sr + sr // 2
+    assert len(trimmed) >= sr
+
+
+def test_audio_roundtrip(tmp_path):
+    from tts_tpu.utils.audio import encode_aiff, write_wav
+    sr = 24000
+    x = (0.4 * np.sin(np.linspace(0, 100, 4800))).astype(np.float32)
+    p = tmp_path / "x.wav"
+    write_wav(str(p), x, sr)
+    y, sr2 = read_wav(str(p))
+    assert sr2 == sr
+    np.testing.assert_allclose(x, y, atol=1e-4)
+    aiff = encode_aiff(x, sr)
+    assert aiff[:4] == b"FORM" and aiff[8:12] == b"AIFF"
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    from http.server import ThreadingHTTPServer
+    from tts_tpu.apps.server import ServerState, make_handler
+    from tts_tpu.runtime.api import GenerationConfig
+
+    state = ServerState({"dummy": "test:dummy"}, GenerationConfig(), 2)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_server_health_and_models(server_port):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/health") as r:
+        assert json.loads(r.read()) == {"status": "ok"}
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/v1/models") as r:
+        models = json.loads(r.read())
+    assert models["data"][0]["id"] == "dummy"
+
+
+def test_server_speech_wav(server_port):
+    status, body, ctype = _post(server_port, "/v1/audio/speech", {"input": "hi"})
+    assert status == 200
+    assert ctype == "audio/wav"
+    assert body[:4] == b"RIFF"
+    assert len(body) > 2 * 44100 * 2  # two seconds of 16-bit audio
+
+
+def test_server_speech_aiff(server_port):
+    status, body, ctype = _post(server_port, "/v1/audio/speech",
+                                {"input": "hi", "response_format": "aiff"})
+    assert status == 200
+    assert ctype == "audio/aiff"
+    assert body[:4] == b"FORM"
+
+
+def test_server_rejects_bad_requests(server_port):
+    status, body, _ = _post(server_port, "/v1/audio/speech", {})
+    assert status == 400
+    assert "input" in json.loads(body)["error"]["message"]
+
+    status, body, _ = _post(server_port, "/v1/audio/speech",
+                            {"input": "x", "response_format": "mp3"})
+    assert status == 400
+
+    status, body, _ = _post(server_port, "/v1/audio/speech",
+                            {"input": "x", "model": "nope"})
+    assert status == 400
+    assert "Invalid Model" in json.loads(body)["error"]["message"]
+
+
+def test_server_voices(server_port):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/v1/audio/voices") as r:
+        voices = json.loads(r.read())
+    assert voices == {"dummy": ["dummy"]}

@@ -1,0 +1,260 @@
+"""tts-server: OpenAI-compatible speech REST API.
+
+Endpoint parity with /root/reference/examples/server/server.cpp:
+  POST /v1/audio/speech            {input, model?, voice?, temperature?,
+                                    top_k?, top_p?, repetition_penalty?,
+                                    response_format? (wav|wave|aiff)}
+  POST /v1/audio/conditional-prompt {prompt, text_encoder_path}
+  GET  /v1/models                  OpenAI-style model list
+  GET  /v1/audio/voices            {model: [voices...]}
+  GET  /health                     {"status":"ok"}
+  GET  /                           minimal index page
+
+Architecture: a task queue feeding a worker pool of runner replicas
+(--n-parallelism, server.cpp:225-321).  On TPU one process drives one chip, so
+replicas share device weights; request-level parallelism still overlaps host
+text processing with device compute.  --model-path may be a directory of GGUF
+files for multi-model serving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from tts_tpu.models.registry import runner_from_file
+from tts_tpu.runtime.api import GenerationConfig, TTSError
+from tts_tpu.utils.audio import encode_aiff, encode_wav
+
+INDEX_HTML = b"""<!doctype html><title>tts_tpu server</title>
+<h1>tts_tpu</h1><p>POST /v1/audio/speech with {"input": "text to speak"}</p>"""
+
+
+def error_json(message: str, etype: str = "invalid_request_error", code: int = 400):
+    return code, {"error": {"message": message, "type": etype, "code": code}}
+
+
+class ServerState:
+    def __init__(self, model_paths: dict[str, str], default_config: GenerationConfig,
+                 n_parallelism: int = 1):
+        self.model_paths = model_paths
+        self.default_model = next(iter(model_paths))
+        self.default_config = default_config
+        self.tasks: queue.Queue = queue.Queue()
+        self.results: dict[str, dict] = {}
+        self.results_cv = threading.Condition()
+        self.workers = []
+        for _ in range(max(n_parallelism, 1)):
+            w = threading.Thread(target=self._worker_loop, daemon=True)
+            w.start()
+            self.workers.append(w)
+
+    def _get_runner(self, cache: dict, model: str):
+        if model not in cache:
+            cache[model] = runner_from_file(self.model_paths[model], self.default_config)
+        return cache[model]
+
+    def _worker_loop(self):
+        cache: dict = {}
+        while True:
+            task = self.tasks.get()
+            if task is None:
+                return
+            result = {"success": False, "message": "unknown error"}
+            try:
+                runner = self._get_runner(cache, task["model"])
+                if task["kind"] == "tts":
+                    resp = runner.generate(task["prompt"], task["config"])
+                    result = {"success": True, "audio": resp.audio,
+                              "sample_rate": resp.sample_rate}
+                elif task["kind"] == "voices":
+                    voices = {m: self._get_runner(cache, m).list_voices()
+                              for m in self.model_paths}
+                    result = {"success": True, "voices": voices}
+                elif task["kind"] == "conditional":
+                    runner.update_conditional_prompt(task["text_encoder_path"],
+                                                     task["prompt"])
+                    result = {"success": True}
+            except TTSError as e:
+                result = {"success": False, "message": str(e), "user_error": True}
+            except Exception as e:  # worker must survive any failure
+                result = {"success": False, "message": f"{type(e).__name__}: {e}"}
+            with self.results_cv:
+                self.results[task["id"]] = result
+                self.results_cv.notify_all()
+
+    def submit(self, task: dict, timeout: float = 300.0) -> dict:
+        task["id"] = uuid.uuid4().hex
+        self.tasks.put(task)
+        with self.results_cv:
+            ok = self.results_cv.wait_for(lambda: task["id"] in self.results,
+                                          timeout=timeout)
+            if not ok:
+                return {"success": False, "message": "request timed out"}
+            return self.results.pop(task["id"])
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            print(f"[srv] {self.address_string()} {fmt % args}", file=sys.stderr)
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _read_json(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                return json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                return None
+
+        # ------------------------------------------------------------------
+        def do_GET(self):
+            if self.path == "/health":
+                self._send_json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                models = [{"id": m, "object": "model", "owned_by": "tts_tpu"}
+                          for m in state.model_paths]
+                self._send_json(200, {"object": "list", "data": models})
+            elif self.path == "/v1/audio/voices":
+                result = state.submit({"kind": "voices", "model": state.default_model})
+                if result["success"]:
+                    self._send_json(200, result["voices"])
+                else:
+                    self._send_json(*error_json(result["message"], "server_error", 500))
+            elif self.path == "/":
+                self._send(200, INDEX_HTML, "text/html")
+            else:
+                self._send_json(*error_json("not found", "invalid_request_error", 404))
+
+        def do_POST(self):
+            if self.path == "/v1/audio/speech":
+                self.handle_tts()
+            elif self.path == "/v1/audio/conditional-prompt":
+                self.handle_conditional()
+            else:
+                self._send_json(*error_json("not found", "invalid_request_error", 404))
+
+        # ------------------------------------------------------------------
+        def handle_tts(self):
+            data = self._read_json()
+            if data is None or not isinstance(data.get("input"), str):
+                self._send_json(*error_json(
+                    "the 'input' field is required for tts generation and must "
+                    "be passed as a string."))
+                return
+            if not data["input"]:
+                self._send_json(*error_json("the 'input' field must be a non empty string"))
+                return
+            fmt = data.get("response_format", "wav")
+            if fmt not in ("wav", "wave", "aiff"):
+                self._send_json(*error_json(
+                    "Currently 'wav' and 'aiff' are the only supported formats "
+                    "for the 'response_format' field.", "not_supported_error"))
+                return
+            model = data.get("model", state.default_model)
+            if model not in state.model_paths:
+                self._send_json(*error_json(f"Invalid Model: {model}"))
+                return
+            cfg = GenerationConfig(
+                temperature=float(data.get("temperature", state.default_config.temperature)),
+                top_k=int(data.get("top_k", state.default_config.top_k)),
+                top_p=float(data.get("top_p", state.default_config.top_p)),
+                repetition_penalty=float(data.get("repetition_penalty",
+                                                  state.default_config.repetition_penalty)),
+                voice=data.get("voice", state.default_config.voice),
+            )
+            result = state.submit({"kind": "tts", "model": model,
+                                   "prompt": data["input"], "config": cfg})
+            if not result["success"]:
+                code = 400 if result.get("user_error") else 500
+                self._send_json(*error_json(result["message"], "server_error", code))
+                return
+            if fmt == "aiff":
+                body = encode_aiff(result["audio"], result["sample_rate"])
+                self._send(200, body, "audio/aiff")
+            else:
+                body = encode_wav(result["audio"], result["sample_rate"])
+                self._send(200, body, "audio/wav")
+
+        def handle_conditional(self):
+            data = self._read_json() or {}
+            if not isinstance(data.get("prompt"), str) or not data.get("text_encoder_path"):
+                self._send_json(*error_json(
+                    "'prompt' and 'text_encoder_path' are required"))
+                return
+            result = state.submit({"kind": "conditional", "model": state.default_model,
+                                   "prompt": data["prompt"],
+                                   "text_encoder_path": data["text_encoder_path"]})
+            if result["success"]:
+                self._send_json(200, {"status": "ok"})
+            else:
+                code = 400 if result.get("user_error") else 500
+                self._send_json(*error_json(result["message"], "server_error", code))
+
+    return Handler
+
+
+def discover_models(path: str) -> dict[str, str]:
+    if os.path.isdir(path):
+        out = {}
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".gguf"):
+                out[os.path.splitext(name)[0]] = os.path.join(path, name)
+        if not out:
+            raise SystemExit(f"no .gguf files found in {path}")
+        return out
+    name = os.path.splitext(os.path.basename(path))[0] or path
+    return {name: path}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tts-server", description=__doc__)
+    p.add_argument("--model-path", "-mp", required=True,
+                   help="GGUF file, directory of GGUF files, or test:dummy")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--n-parallelism", "-np", type=int, default=1,
+                   help="number of worker threads with runner replicas")
+    p.add_argument("--voice", "-v", default="")
+    p.add_argument("--temperature", "-t", type=float, default=1.0)
+    p.add_argument("--topk", "-tk", type=int, default=50)
+    p.add_argument("--top-p", "-tp", type=float, default=1.0)
+    p.add_argument("--repetition-penalty", "-r", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    default_config = GenerationConfig(
+        voice=args.voice, temperature=args.temperature, top_k=args.topk,
+        top_p=args.top_p, repetition_penalty=args.repetition_penalty)
+    if args.model_path.startswith("test:"):
+        models = {args.model_path[5:]: args.model_path}
+    else:
+        models = discover_models(args.model_path)
+    state = ServerState(models, default_config, args.n_parallelism)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
+    print(f"tts-server listening on http://{args.host}:{args.port} "
+          f"(models: {', '.join(models)})", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
