@@ -36,7 +36,13 @@ BASELINE_RTF = 1.112033
 
 
 def main():
+    import jax
     import numpy as np
+
+    # persistent compilation cache: first run pays ~4 min/bucket, reruns are hot
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
     from tts_tpu.models.registry import runner_from_file

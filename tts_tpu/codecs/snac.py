@@ -1,0 +1,148 @@
+"""SNAC (Scale Neural Audio Codec) decoder for Orpheus: 3 multi-rate RVQ
+codebooks -> 24kHz PCM.
+
+Parity: /root/reference/src/decoder/snac_model.{h,cpp} — per-head
+repeat-interleave (rates x4/x2/x1), depthwise in-conv + 1x1 up-conv, per-layer
+gaussian noise injection (FiLM via 1x1 conv), grouped residual units."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.codecs.blocks import codec_layer, quantizer_decode
+from tts_tpu.codecs.dac import pick_bucket
+from tts_tpu.ops.basic import snake
+from tts_tpu.ops.conv import conv1d
+
+
+@dataclass(frozen=True)
+class SNACConfig:
+    n_layers: int = 4
+    n_heads: int = 3
+    up_sampling_factor: int = 512
+    embd: int = 768
+    max_generation_size: int = 2580
+    repeats: tuple = (4, 2, 1)
+    noise_steps: tuple = (8, 64, 256, 512)
+    strides: tuple = (8, 8, 4, 2)
+    paddings: tuple = (4, 4, 2, 1)
+    groups: tuple = (1, 1, 1, 1)
+    use_noise: bool = True
+
+    @staticmethod
+    def from_gguf_kv(kv: dict) -> "SNACConfig":
+        g = lambda k, d: int(kv.get(k, d))
+        return SNACConfig(
+            n_heads=g("snac.audio_token_channels", 3),
+            up_sampling_factor=g("snac.up_sampling_factor", 512),
+            max_generation_size=g("snac.max_generation_size", 2580),
+            strides=tuple(g(f"snac.snac_layer_stride_{i}", s)
+                          for i, s in enumerate((8, 8, 4, 2))),
+            paddings=tuple(g(f"snac.snac_layer_padding_{i}", p)
+                           for i, p in enumerate((4, 4, 2, 1))),
+            groups=tuple(g(f"snac.snac_layer_grouping_{i}", 1) for i in range(4)),
+        )
+
+
+def load_snac_params(tensors: dict, cfg: SNACConfig, prefix: str = "snac.") -> dict:
+    def get(name, optional=False):
+        t = tensors.get(prefix + name)
+        if t is None:
+            if optional:
+                return None
+            raise KeyError(f"snac: missing tensor {prefix}{name}")
+        return jnp.asarray(np.asarray(t, np.float32))
+
+    from tts_tpu.codecs.dac import _unit_params
+
+    p = {
+        "in_w": get("in.weight"), "in_b": get("in.bias"),
+        "up_w": get("up.weight"), "up_b": get("up.bias"),
+        "out_w": get("final.weight"), "out_b": get("final.bias"),
+        "out_alpha": get("alpha_out").reshape(-1),
+        "layers": [], "quantizers": [],
+    }
+    for i in range(cfg.n_layers):
+        base = f"layers.{i}"
+        layer = {
+            "in_alpha": get(f"{base}.alpha").reshape(-1),
+            "in_w": get(f"{base}.weight"),
+            "in_b": get(f"{base}.bias"),
+            "units": [_unit_params(get, f"{base}.residual_unit.{j}") for j in range(3)],
+        }
+        noise_w = get(f"{base}.noise_weight", optional=True)
+        if noise_w is not None:
+            layer["noise_w"] = noise_w
+        p["layers"].append(layer)
+    for i in range(cfg.n_heads):
+        w = get(f"quantizers.{i}.out_proj.weight")
+        p["quantizers"].append({
+            "codebook": get(f"quantizers.{i}.codebook.weight"),
+            "out_w": w.reshape(w.shape[0], -1).T,
+            "out_b": get(f"quantizers.{i}.out_proj.bias"),
+        })
+    return p
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def snac_decode(params, cfg: SNACConfig, codes, n_valid, noise_key):
+    """codes [T, 3] int32 at the finest rate: head 0 holds its coarse token
+    repeated x4 (i.e. codes[:, 0] = coarse[t//4]), head 1 x2, head 2 x1.
+    Returns audio [T * up_sampling_factor]."""
+    T = codes.shape[0]
+    mask = (jnp.arange(T) < n_valid).astype(jnp.float32)[:, None]
+
+    embd = None
+    for i, q in enumerate(params["quantizers"]):
+        emb = q["codebook"][codes[:, i]]
+        proj = emb @ q["out_w"] + q["out_b"]
+        embd = proj if embd is None else embd + proj
+    x = embd * mask
+
+    x = conv1d(x, params["in_w"], params["in_b"], padding=3, groups=x.shape[1])
+    x = conv1d(x, params["up_w"], params["up_b"])
+    keys = jax.random.split(noise_key, len(params["layers"]))
+    for i, layer in enumerate(params["layers"]):
+        t_out = x.shape[0] * cfg.strides[i]
+        noise = (jax.random.normal(keys[i], (t_out, 1), jnp.float32)
+                 if cfg.use_noise and "noise_w" in layer else None)
+        x = codec_layer(x, layer, stride=cfg.strides[i], padding=cfg.paddings[i],
+                        groups=cfg.groups[i], noise=noise)
+    x = snake(x, params["out_alpha"])
+    x = conv1d(x, params["out_w"], params["out_b"], padding=3)
+    return jnp.tanh(x)[:, 0]
+
+
+class SNACDecoder:
+    """Host wrapper: three token lists at rates x4/x2/x1 -> float32 PCM."""
+
+    sample_rate = 24000
+
+    def __init__(self, cfg: SNACConfig, params: dict):
+        self.cfg = cfg
+        self.params = params
+
+    @classmethod
+    def from_tensors(cls, tensors: dict, kv: dict) -> "SNACDecoder":
+        cfg = SNACConfig.from_gguf_kv(kv)
+        return cls(cfg, load_snac_params(tensors, cfg))
+
+    def decode(self, heads: list[np.ndarray], seed: int = 0) -> np.ndarray:
+        """heads[i] has len T / repeats[i]; T = len(heads[-1])."""
+        t = len(heads[-1])
+        if t == 0:
+            return np.zeros(0, np.float32)
+        tb = pick_bucket(t)
+        codes = np.zeros((tb, self.cfg.n_heads), np.int32)
+        for i, rep in enumerate(self.cfg.repeats):
+            expanded = np.repeat(np.asarray(heads[i], np.int32), rep)
+            codes[: len(expanded), i] = expanded[:tb]
+        audio = snac_decode(self.params, self.cfg, jnp.asarray(codes),
+                            jnp.asarray(t, jnp.int32), jax.random.PRNGKey(seed))
+        return np.asarray(audio[: t * self.cfg.up_sampling_factor])
