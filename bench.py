@@ -41,7 +41,8 @@ def main():
 
     # persistent compilation cache: first run pays ~4 min/bucket, reruns are hot
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_comp_cache"))
+                      os.environ.get("JAX_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/tts_tpu_jax")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf

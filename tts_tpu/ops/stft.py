@@ -41,13 +41,25 @@ def frame_signal(x, n_fft: int, hop: int, n_frames: int):
 
 
 def stft(x, window, n_fft: int, hop: int):
-    """x: [T] -> (magnitude [F, bins], phase [F, bins]), F = T//hop + 1."""
+    """x: [T] -> (magnitude [F, bins], phase [F, bins]), F = T//hop + 1.
+
+    Implemented as one strided convolution with windowed DFT kernels — the
+    framing gather is folded into the conv, which XLA compiles and runs far
+    better than an explicit gather at megasample lengths."""
+    from jax import lax
+
     n_bins = n_fft // 2 + 1
-    n_frames = x.shape[0] // hop + 1
-    frames = frame_signal(x, n_fft, hop, n_frames) * window[None, :]
-    cos_b, sin_b = _dft_bases(n_fft, n_bins)
-    re = frames @ cos_b
-    im = frames @ sin_b
+    half = n_fft // 2
+    xp = jnp.pad(x, (half, half), mode="reflect")
+    cos_b, sin_b = _dft_bases(n_fft, n_bins)          # [n_fft, bins]
+    win = window.reshape(-1, 1)
+    kern = jnp.concatenate([cos_b * win, sin_b * win], axis=1)  # [n_fft, 2*bins]
+    kern = kern.T[:, None, :]                         # [2*bins, 1, n_fft]
+    out = lax.conv_general_dilated(
+        xp[None, None, :], kern, window_strides=(hop,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)[0].T      # [F, 2*bins]
+    re, im = out[:, :n_bins], out[:, n_bins:]
     mag = jnp.sqrt(re * re + im * im + 1e-12)
     phase = jnp.arctan2(im, re)
     return mag, phase
@@ -80,22 +92,13 @@ def istft(mag, phase, window, window_sq_sum, n_fft: int, hop: int):
 
     out_len = (n_frames - 1) * hop
     half = n_fft // 2
-    if n_fft % hop == 0:
-        # reshape-based overlap-add: n_fft/hop shifted strided sums
-        r = n_fft // hop
-        total = out_len + 2 * n_fft
-        acc = jnp.zeros((r, total), frames.dtype)
-        chunks = frames.reshape(n_frames, r, hop)
-        flat_len = n_frames * hop
-        for j in range(r):
-            flat = chunks[:, j, :].reshape(-1)            # [F*hop]
-            acc = acc.at[j, j * hop : j * hop + flat_len].set(flat)
-        out = jnp.sum(acc, axis=0)
-    else:
-        out = jnp.zeros(out_len + 2 * n_fft, frames.dtype)
-        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-        out = out.at[idx.reshape(-1)].add(frames.reshape(-1))
-    # center offset: frame f covers samples [f*hop - half, f*hop + half)
+    # overlap-add as a transposed conv with an identity kernel: channel i of
+    # frame f lands at sample f*hop + i (fast to compile and MXU-friendly)
+    from tts_tpu.ops.conv import conv_transpose1d
+
+    ident = jnp.eye(n_fft, dtype=frames.dtype).reshape(n_fft, 1, n_fft)
+    out = conv_transpose1d(frames, ident, stride=hop)[:, 0]
+    # out has length (F-1)*hop + n_fft; frame f covers [f*hop - half, ...)
     out = out[half : half + out_len]
     return out / window_sq_sum
 
