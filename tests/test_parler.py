@@ -1,0 +1,66 @@
+"""Parler end-to-end tests on a tiny random model."""
+
+import numpy as np
+import pytest
+
+from tts_tpu.convert.builder_parler import write_parler_gguf
+from tts_tpu.models.parler import ParlerConfig, adjust_output_tokens
+from tts_tpu.models.registry import runner_from_file
+from tts_tpu.runtime.api import GenerationConfig
+
+
+@pytest.fixture(scope="module")
+def runner(tmp_path_factory):
+    path = tmp_path_factory.mktemp("parler") / "tiny_parler.gguf"
+    write_parler_gguf(path)
+    return runner_from_file(str(path))
+
+
+def test_generate_produces_audio(runner):
+    resp = runner.generate("hello world", GenerationConfig(seed=0, temperature=1.0))
+    assert resp.sample_rate == 44100
+    # tiny random model may hit EOS early or run to max_gen; either way the
+    # pipeline must produce finite PCM (possibly empty if all frames filtered)
+    assert np.isfinite(resp.audio).all()
+    assert resp.timings["decode_steps"] > 0
+
+
+def test_generate_greedy_deterministic(runner):
+    cfg = GenerationConfig(seed=1, sample=False)
+    a = runner.generate("abc", cfg)
+    b = runner.generate("abc", cfg)
+    np.testing.assert_array_equal(a.audio, b.audio)
+
+
+def test_max_tokens_cap(runner):
+    resp = runner.generate("abc", GenerationConfig(seed=0, max_tokens=12))
+    assert resp.timings["decode_steps"] <= 12
+
+
+def test_adjust_output_tokens_delay_unweave():
+    # steps x heads; head h is delayed by h steps (BOS staircase), so the
+    # un-weave takes frame i = [out[i,0], out[i+1,1], out[i+2,2]]
+    out = np.array([
+        [0, 99, 99],
+        [1, 10, 99],
+        [2, 11, 20],
+        [3, 12, 21],
+        [4, 13, 22],
+    ])
+    cfg = ParlerConfig(n_output_heads=3, audio_vocab_size=30)
+    frames = adjust_output_tokens(out, cfg)
+    np.testing.assert_array_equal(frames[0], [0, 10, 20])
+    np.testing.assert_array_equal(frames[1], [1, 11, 21])
+    np.testing.assert_array_equal(frames[2], [2, 12, 22])
+    assert len(frames) == 3
+
+    # invalid tokens (>= audio_vocab_size) drop the whole frame
+    cfg_small = ParlerConfig(n_output_heads=3, audio_vocab_size=10)
+    frames_small = adjust_output_tokens(out, cfg_small)
+    assert len(frames_small) == 0
+
+
+def test_conditional_prompt_requires_encoder(runner):
+    from tts_tpu.runtime.api import TTSError
+    with pytest.raises((TTSError, FileNotFoundError, Exception)):
+        runner.update_conditional_prompt("/nonexistent/t5.gguf", "calm voice")

@@ -1,1 +1,358 @@
-"""Placeholder — parler model lands in a later milestone of this build."""
+"""Parler-TTS: decoder-only transformer with precomputed T5 cross-attention,
+9 parallel codebook heads, and DAC codec decode.
+
+Parity: /root/reference/src/models/parler/model.cpp — same architecture
+(24L, h=1024, 16 heads, learned positional embeddings, biasless projections,
+LN with bias), BOS-delay staircase across heads, per-head EOS tracking, and
+delay un-weave + invalid-token filtering before the codec
+(adjust_output_tokens, model.cpp:734-760).
+
+TPU design: a fixed-shape KV cache [L, 2, max_ctx, H, hs] updated with
+dynamic_update_slice inside two jitted functions — `prefill` (prompt batch)
+and `decode_step` (one token, on-device sampling) — instead of per-step graph
+rebuilds.  The host loop only carries token ids and EOS flags.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.codecs.dac import DACDecoder
+from tts_tpu.models.registry import register_loader
+from tts_tpu.ops.sampling import init_state, sample_tokens
+from tts_tpu.runtime.api import GenerationConfig, TTSResponse, TTSRunner
+from tts_tpu.text.tokenizers import UnigramTokenizer
+
+PROMPT_BUCKETS = (16, 32, 64, 128, 256)
+
+
+@dataclass(frozen=True)
+class ParlerConfig:
+    n_layers: int = 24
+    hidden_size: int = 1024
+    n_attn_heads: int = 16
+    n_output_heads: int = 9
+    output_vocab_size: int = 1088
+    audio_vocab_size: int = 1024
+    eos_token_id: int = 1024
+    bos_token_id: int = 1025
+    max_ctx_length: int = 4096
+    max_generation_size: int = 2580
+    n_encode_length: int = 0
+    use_cross_attn: bool = True
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.n_attn_heads
+
+    @staticmethod
+    def from_gguf_kv(kv: dict) -> "ParlerConfig":
+        g = lambda k, d: int(kv.get(k, d))
+        return ParlerConfig(
+            n_layers=g("parler-tts.decoder.num_hidden_layers", 24),
+            hidden_size=g("parler-tts.decoder.hidden_size", 1024),
+            n_attn_heads=g("parler-tts.decoder.attention.head_count", 16),
+            n_output_heads=g("parler-tts.decoder.output_heads", 9),
+            output_vocab_size=g("parler-tts.decoder.out_vocab_size", 1088),
+            audio_vocab_size=g("parler-tts.decoder.audio_vocab_size", 1024),
+            max_ctx_length=g("parler-tts.decoder.context_length", 4096),
+            max_generation_size=g("parler-tts.decoder.max_generation", 2580),
+            n_encode_length=g("parler-tts.decoder.encode_length", 0),
+            bos_token_id=g("audio.bos_token_id", 1025),
+            eos_token_id=g("audio.eos_token_id", 1024),
+        )
+
+
+def load_parler_params(tensors: dict, cfg: ParlerConfig) -> dict:
+    def get(name):
+        t = tensors.get(name)
+        if t is None:
+            raise KeyError(f"parler: missing tensor {name}")
+        return jnp.asarray(np.asarray(t, np.float32))
+
+    p = {
+        "prompt_embd": get("decoder.embed_prompts"),
+        "positional": get("decoder.positional_embed"),
+        "text_encoding": get("decoder.text_encoding"),
+        "norm_w": get("decoder.layer_norm.weight"),
+        "norm_b": get("decoder.layer_norm.bias"),
+        "embds": [], "heads": [], "layers": [],
+    }
+    i = 0
+    while f"decoder.embed_tokens.{i}.weight" in tensors:
+        p["embds"].append(get(f"decoder.embed_tokens.{i}.weight"))
+        i += 1
+    i = 0
+    while f"decoder.lm_heads.{i}.weight.head" in tensors:
+        p["heads"].append(get(f"decoder.lm_heads.{i}.weight.head").T)
+        i += 1
+    for l in range(cfg.n_layers):
+        L = f"decoder.layers.{l}"
+        p["layers"].append({
+            "sa_norm_w": get(f"{L}.self_attn_layer_norm.weight"),
+            "sa_norm_b": get(f"{L}.self_attn_layer_norm.bias"),
+            "sa_q": get(f"{L}.self_attn.q_proj.weight").T,
+            "sa_k": get(f"{L}.self_attn.k_proj.weight").T,
+            "sa_v": get(f"{L}.self_attn.v_proj.weight").T,
+            "sa_o": get(f"{L}.self_attn.out_proj.weight").T,
+            "ca_norm_w": get(f"{L}.encoder_attn_layer_norm.weight"),
+            "ca_norm_b": get(f"{L}.encoder_attn_layer_norm.bias"),
+            "ca_q": get(f"{L}.encoder_attn.q_proj.weight").T,
+            "ca_k": get(f"{L}.encoder_attn.k_proj.weight").T,
+            "ca_v": get(f"{L}.encoder_attn.v_proj.weight").T,
+            "ca_o": get(f"{L}.encoder_attn.out_proj.weight").T,
+            "fc1": get(f"{L}.fc1.weight").T,
+            "fc2": get(f"{L}.fc2.weight").T,
+            "out_norm_w": get(f"{L}.final_layer_norm.weight"),
+            "out_norm_b": get(f"{L}.final_layer_norm.bias"),
+        })
+    return p
+
+
+def _ln(x, w, b, eps: float = 1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps) * w + b
+
+
+def init_kv_cache(cfg: ParlerConfig) -> dict:
+    shape = (cfg.n_layers, cfg.max_ctx_length, cfg.n_attn_heads, cfg.head_size)
+    return {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
+
+
+def precompute_cross_kv(params, cfg: ParlerConfig):
+    """text_encoding [enc, hidden] -> per-layer K/V [L, enc, H, hs]
+    (parity: prep_cross_key_values, parler/model.cpp:110-173)."""
+    enc = params["text_encoding"]
+    H, hs = cfg.n_attn_heads, cfg.head_size
+    ks, vs = [], []
+    for L in params["layers"]:
+        ks.append((enc @ L["ca_k"]).reshape(-1, H, hs))
+        vs.append((enc @ L["ca_v"]).reshape(-1, H, hs))
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+
+def _layer_attn(x, L, cache_k, cache_v, pos_mask, cfg):
+    """Self-attention over the cache (keys beyond pos are masked)."""
+    H, hs = cfg.n_attn_heads, cfg.head_size
+    T = x.shape[0]
+    q = (x @ L["sa_q"]).reshape(T, H, hs)
+    logits = jnp.einsum("qhd,khd->hqk", q, cache_k) / math.sqrt(hs)
+    logits = logits + pos_mask
+    w = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("hqk,khd->qhd", w, cache_v).reshape(T, H * hs)
+    return attn @ L["sa_o"]
+
+
+def _layer_cross_attn(x, L, ck, cv, enc_mask, cfg):
+    H, hs = cfg.n_attn_heads, cfg.head_size
+    T = x.shape[0]
+    q = (x @ L["ca_q"]).reshape(T, H, hs)
+    logits = jnp.einsum("qhd,khd->hqk", q, ck) / math.sqrt(hs)
+    logits = logits + enc_mask
+    w = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("hqk,khd->qhd", w, cv).reshape(T, H * hs)
+    return attn @ L["ca_o"]
+
+
+def _transformer(params, cfg, x, cache, start_pos, q_positions, cross_kv):
+    """Shared body for prefill/decode.  x [T, hidden]; writes K/V at
+    start_pos..start_pos+T; causal mask against absolute positions."""
+    H, hs = cfg.n_attn_heads, cfg.head_size
+    T = x.shape[0]
+    key_pos = jnp.arange(cfg.max_ctx_length)
+    # causal + validity: key visible iff key_pos <= query_pos
+    mask = jnp.where(key_pos[None, None, :] <= q_positions[None, :, None], 0.0, -1e9)
+    if cross_kv is not None:
+        enc_mask = jnp.zeros((1, 1, cross_kv["k"].shape[1]), jnp.float32)
+
+    new_k = cache["k"]
+    new_v = cache["v"]
+    for l, L in enumerate(params["layers"]):
+        res = x
+        h = _ln(x, L["sa_norm_w"], L["sa_norm_b"])
+        k = (h @ L["sa_k"]).reshape(T, H, hs)
+        v = (h @ L["sa_v"]).reshape(T, H, hs)
+        new_k = jax.lax.dynamic_update_slice(new_k, k[None], (l, start_pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(new_v, v[None], (l, start_pos, 0, 0))
+        x = res + _layer_attn(h, L, new_k[l], new_v[l], mask, cfg)
+        if cross_kv is not None:
+            res = x
+            h = _ln(x, L["ca_norm_w"], L["ca_norm_b"])
+            x = res + _layer_cross_attn(h, L, cross_kv["k"][l], cross_kv["v"][l],
+                                        enc_mask, cfg)
+        res = x
+        h = _ln(x, L["out_norm_w"], L["out_norm_b"])
+        h = jax.nn.gelu(h @ L["fc1"]) @ L["fc2"]
+        x = res + h
+    x = _ln(x, params["norm_w"], params["norm_b"])
+    return x, {"k": new_k, "v": new_v}
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_cross"), donate_argnames=("cache",))
+def parler_prefill(params, cfg: ParlerConfig, tokens, n_valid, cache, cross_kv,
+                   use_cross: bool = True):
+    """Text-prompt pass: tokens [Tb] (padded), fills KV 0..n_valid."""
+    T = tokens.shape[0]
+    x = params["prompt_embd"][tokens] + params["positional"][:T]
+    positions = jnp.arange(T)
+    # padded positions point at n_valid-1 (their K/V rows are later overwritten)
+    positions = jnp.minimum(positions, n_valid - 1)
+    x, cache = _transformer(params, cfg, x, cache, 0, positions,
+                            cross_kv if use_cross else None)
+    return cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_cross", "top_k", "do_sample"),
+         donate_argnames=("cache",))
+def parler_decode_step(params, cfg: ParlerConfig, audio_tokens, pos, cache,
+                       cross_kv, key, sampler_state, *, use_cross: bool = True,
+                       temperature=1.0, top_k: int = 0, top_p=1.0,
+                       repetition_penalty=1.0, do_sample: bool = True):
+    """One AR step: audio_tokens [9] -> sampled [9] + logits row."""
+    embds = jnp.stack(params["embds"])           # [9, vocab, hidden]
+    x = jnp.sum(embds[jnp.arange(cfg.n_output_heads), audio_tokens], axis=0)
+    x = x + params["positional"][pos]
+    x = x[None, :]
+    x, cache = _transformer(params, cfg, x, cache, pos, pos[None],
+                            cross_kv if use_cross else None)
+    heads = jnp.stack(params["heads"])           # [9, hidden, vocab]
+    logits = jnp.einsum("d,hdv->hv", x[0], heads)
+    tokens, sampler_state = sample_tokens(
+        key, logits, sampler_state, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+    return tokens, cache, sampler_state
+
+
+def adjust_output_tokens(output: np.ndarray, cfg: ParlerConfig) -> np.ndarray:
+    """Delay un-weave + invalid-token filter (parity: model.cpp:734-760).
+    output [steps, 9] -> [frames, 9] with frame i head ii = output[i+ii, ii]."""
+    steps = len(output)
+    frames = []
+    for i in range(steps):
+        idx = i + np.arange(cfg.n_output_heads)
+        if idx[-1] >= steps:
+            break
+        row = output[idx, np.arange(cfg.n_output_heads)]
+        if (row < cfg.audio_vocab_size).all():
+            frames.append(row)
+    if not frames:
+        return np.zeros((0, cfg.n_output_heads), np.int32)
+    return np.stack(frames).astype(np.int32)
+
+
+class ParlerRunner(TTSRunner):
+    sample_rate = 44100
+    architecture = "parler-tts"
+
+    def __init__(self, cfg: ParlerConfig, params: dict, tokenizer: UnigramTokenizer,
+                 dac: DACDecoder, config: GenerationConfig):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dac = dac
+        self.cross_kv = jax.jit(precompute_cross_kv, static_argnames=("cfg",))(
+            params, cfg)
+        self._cache = None
+
+    def update_conditional_prompt(self, text_encoder_path: str, prompt: str):
+        """Re-encode the voice-conditioning prompt with a T5 GGUF
+        (parity: parler/model.cpp:510-518)."""
+        from tts_tpu.core.gguf import GGUFFile
+        from tts_tpu.models.t5 import T5Runner
+
+        with GGUFFile(text_encoder_path) as f:
+            t5 = T5Runner.from_gguf(f, tokenizer=self.tokenizer)
+            encoding = t5.encode(prompt)
+        self.params["text_encoding"] = jnp.asarray(encoding)
+        self.cross_kv = jax.jit(precompute_cross_kv, static_argnames=("cfg",))(
+            self.params, self.cfg)
+
+    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
+        import time
+
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        t0 = time.perf_counter()
+
+        ids = self.tokenizer.tokenize(text) + [self.tokenizer.eos_token]
+        T = len(ids)
+        Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
+        tokens = np.zeros(Tb, np.int32)
+        tokens[:T] = ids
+
+        use_cross = bool(config.use_cross_attn)
+        if self._cache is None:
+            self._cache = init_kv_cache(cfg)
+        cache = jax.tree_util.tree_map(lambda x: x * 0, self._cache)
+        cache = parler_prefill(self.params, cfg, jnp.asarray(tokens),
+                               jnp.asarray(T, jnp.int32), cache, self.cross_kv,
+                               use_cross=use_cross)
+
+        key = jax.random.PRNGKey(config.seed if config.seed is not None else
+                                 np.random.randint(0, 2**31 - 1))
+        sampler_state = init_state(cfg.n_output_heads)
+        eos_seen = np.zeros(cfg.n_output_heads, bool)
+        outputs: list[np.ndarray] = []
+        step_tokens = np.full(cfg.n_output_heads, cfg.bos_token_id, np.int32)
+        pos = T
+        max_steps = (config.max_tokens or cfg.max_generation_size)
+        t_prefill = time.perf_counter()
+
+        step = 0
+        while pos < cfg.max_ctx_length and step < max_steps:
+            key, sub = jax.random.split(key)
+            sampled, cache, sampler_state = parler_decode_step(
+                self.params, cfg, jnp.asarray(step_tokens), jnp.asarray(pos, jnp.int32),
+                cache, self.cross_kv, sub, sampler_state,
+                use_cross=use_cross, temperature=config.temperature,
+                top_k=config.top_k, top_p=config.top_p,
+                repetition_penalty=config.repetition_penalty,
+                do_sample=config.sample)
+            sampled = np.asarray(sampled)
+            outputs.append(sampled)
+            eos_seen |= sampled == cfg.eos_token_id
+            if eos_seen.all():
+                break
+            # BOS-delay staircase: head i starts emitting at step i
+            # (parity: model.cpp:778-785)
+            nxt = np.empty(cfg.n_output_heads, np.int32)
+            for i in range(cfg.n_output_heads):
+                if step + 1 > i:
+                    nxt[i] = cfg.eos_token_id if eos_seen[i] else sampled[i]
+                else:
+                    nxt[i] = cfg.bos_token_id
+            step_tokens = nxt
+            pos += 1
+            step += 1
+
+        self._cache = cache
+        t_decode = time.perf_counter()
+
+        frames = adjust_output_tokens(np.stack(outputs) if outputs else
+                                      np.zeros((0, cfg.n_output_heads)), cfg)
+        audio = self.dac.decode(frames)
+        t_end = time.perf_counter()
+        return TTSResponse(
+            audio=audio, sample_rate=self.sample_rate,
+            timings={"prefill_ms": (t_prefill - t0) * 1e3,
+                     "decode_ms": (t_decode - t_prefill) * 1e3,
+                     "decode_steps": len(outputs),
+                     "codec_ms": (t_end - t_decode) * 1e3})
+
+
+@register_loader("parler-tts")
+def load_parler_runner(gguf_file, config: GenerationConfig) -> ParlerRunner:
+    cfg = ParlerConfig.from_gguf_kv(gguf_file.kv)
+    tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()}
+    params = load_parler_params(tensors, cfg)
+    tokenizer = UnigramTokenizer.from_gguf_kv(gguf_file.kv)
+    dac = DACDecoder.from_tensors(tensors, gguf_file.kv)
+    return ParlerRunner(cfg, params, tokenizer, dac, config)
