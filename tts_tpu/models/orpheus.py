@@ -1,1 +1,318 @@
-"""Placeholder — orpheus model lands in a later milestone of this build."""
+"""Orpheus: Llama-3.2-3B backbone generating SNAC audio tokens.
+
+Parity: /root/reference/src/models/orpheus/model.{h,cpp} — 28L llama decoder
+with GQA (24 q / 8 kv heads), RMS norms, SiLU-gated MLP, RoPE theta 5e5 with
+llama-3 frequency scaling (loaded from the `rope_frequencies` tensor), the
+"{128259,128000} voice: text {128009,128260,128261,128257}" prompt frame,
+stop token, and the 7-token frame -> 3 SNAC codebook redistribution
+(tok - 128266 - (i%7)*4096, heads {0,1,2,2,1,2,2}).
+
+TPU design: GQA is computed natively (grouped einsum) instead of
+materializing each KV head 3x into the cache (orpheus/model.cpp:194-228);
+prefill + single-token decode are jitted with a fixed-shape donated cache and
+on-device sampling.  `orpheus_param_specs` provides the tensor-parallel
+sharding layout for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tts_tpu.codecs.snac import SNACDecoder
+from tts_tpu.models.registry import register_loader
+from tts_tpu.ops.sampling import init_state, sample_tokens
+from tts_tpu.runtime.api import GenerationConfig, TTSError, TTSResponse, TTSRunner
+from tts_tpu.text.tokenizers import BPETokenizer
+
+ORPHEUS_VOICES = ("zoe", "zac", "jess", "leo", "mia", "julia", "leah")
+PREPENDED_TOKENS = (128259, 128000)
+APPENDED_TOKENS = (128009, 128260, 128261, 128257)
+FRAME_HEAD_MAP = (0, 1, 2, 2, 1, 2, 2)
+AUDIO_TOKEN_OFFSET = 128266
+PROMPT_BUCKETS = (32, 64, 128, 256, 1024)
+
+
+@dataclass(frozen=True)
+class OrpheusConfig:
+    n_layers: int = 28
+    hidden_size: int = 3072
+    n_attn_heads: int = 24
+    n_kv_attn_heads: int = 8
+    head_size: int = 128
+    vocab_size: int = 156940
+    max_context_length: int = 1024
+    max_generation_size: int = 2100
+    stopping_token_id: int = 128258
+    bos_token_id: int = 128000
+    eos_token_id: int = 128009
+    rope_theta: float = 500000.0
+
+    @property
+    def cache_length(self) -> int:
+        return self.max_context_length + self.max_generation_size
+
+    @staticmethod
+    def from_gguf_kv(kv: dict) -> "OrpheusConfig":
+        g = lambda k, d: int(kv.get(k, d))
+        hidden = g("orpheus.hidden_size", 3072)
+        heads = g("orpheus.attn_heads", 24)
+        return OrpheusConfig(
+            n_layers=g("orpheus.layers", 28),
+            hidden_size=hidden,
+            n_attn_heads=heads,
+            n_kv_attn_heads=g("orpheus.kv_attn_heads", 8),
+            head_size=g("orpheus.head_dim", hidden // heads if hidden // heads else 128),
+            vocab_size=g("orpheus.vocab_size", 156940),
+            stopping_token_id=g("orpheus.stopping_token_id", 128258),
+            bos_token_id=g("tokenizer.ggml.bos_token_id", 128000),
+            eos_token_id=g("tokenizer.ggml.eos_token_id", 128009),
+        )
+
+
+def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -> dict:
+    def get(name, cast=True):
+        t = tensors.get(name)
+        if t is None:
+            raise KeyError(f"orpheus: missing tensor {name}")
+        arr = jnp.asarray(np.asarray(t, np.float32))
+        return arr.astype(dtype) if cast else arr
+
+    p = {
+        "embd": get("orpheus.embed_tokens"),
+        "head": get("orpheus.lm_head").T,
+        "out_norm": get("orpheus.norm", cast=False),
+        "rope_factors": get("orpheus.rope_frequencies", cast=False),
+        "layers": [],
+    }
+    for l in range(cfg.n_layers):
+        L = f"orpheus.layers.{l}"
+        p["layers"].append({
+            "in_norm": get(f"{L}.input_layernorm", cast=False),
+            "q": get(f"{L}.self_attn.q_proj").T,
+            "k": get(f"{L}.self_attn.k_proj").T,
+            "v": get(f"{L}.self_attn.v_proj").T,
+            "o": get(f"{L}.self_attn.o_proj").T,
+            "post_norm": get(f"{L}.post_attention_layernorm", cast=False),
+            "gate": get(f"{L}.mlp.gate_proj").T,
+            "up": get(f"{L}.mlp.up_proj").T,
+            "down": get(f"{L}.mlp.down_proj").T,
+        })
+    return p
+
+
+def orpheus_param_specs(params) -> dict:
+    """Tensor-parallel PartitionSpecs: heads/MLP sharded on 'tp'."""
+    specs = jax.tree_util.tree_map(lambda _: P(), params)
+    for L in specs["layers"]:
+        for n in ("q", "k", "v", "gate", "up"):
+            L[n] = P(None, "tp")
+        for n in ("o", "down"):
+            L[n] = P("tp", None)
+    specs["head"] = P(None, "tp")
+    return specs
+
+
+def _rms(x, w, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    n = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+    return (n * w).astype(x.dtype)
+
+
+def _rope(x, positions, rope_factors, theta: float):
+    """x [T, H, hs]; llama-3 scaled RoPE with per-dim frequency factors
+    (the GGUF stores the divisors; parity: ggml_rope_ext usage)."""
+    hs = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, hs, 2, dtype=jnp.float32) / hs))
+    freqs = freqs / rope_factors
+    ang = positions[:, None].astype(jnp.float32) * freqs[None, :]   # [T, hs/2]
+    cos = jnp.cos(ang)[:, None, :]
+    sin = jnp.sin(ang)[:, None, :]
+    # NEOX/llama convention: rotate (x[i], x[i + hs/2]) pairs
+    x1 = x[..., : hs // 2].astype(jnp.float32)
+    x2 = x[..., hs // 2 :].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def init_kv_cache(cfg: OrpheusConfig) -> dict:
+    shape = (cfg.n_layers, cfg.cache_length, cfg.n_kv_attn_heads, cfg.head_size)
+    return {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
+
+
+def _gqa_attention(q, cache_k, cache_v, mask, cfg):
+    """q [T, Hq, hs]; cache [S, Hkv, hs]; grouped-query attention without
+    materializing repeated KV heads."""
+    Hkv = cfg.n_kv_attn_heads
+    group = cfg.n_attn_heads // Hkv
+    T = q.shape[0]
+    qg = q.reshape(T, Hkv, group, cfg.head_size)
+    logits = jnp.einsum("qhgd,khd->hgqk", qg.astype(jnp.float32),
+                        cache_k.astype(jnp.float32)) / math.sqrt(cfg.head_size)
+    logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1)
+    attn = jnp.einsum("hgqk,khd->qhgd", w, cache_v.astype(jnp.float32))
+    return attn.reshape(T, cfg.n_attn_heads * cfg.head_size)
+
+
+def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
+    T = tokens.shape[0]
+    x = params["embd"][tokens]
+    key_pos = jnp.arange(cfg.cache_length)
+    mask = jnp.where(key_pos[None, None, None, :] <= positions[None, None, :, None],
+                     0.0, -1e9).astype(jnp.float32)
+
+    new_k, new_v = cache["k"], cache["v"]
+    Hq, Hkv, hs = cfg.n_attn_heads, cfg.n_kv_attn_heads, cfg.head_size
+    for l, L in enumerate(params["layers"]):
+        res = x
+        h = _rms(x, L["in_norm"])
+        q = (h @ L["q"]).reshape(T, Hq, hs)
+        k = (h @ L["k"]).reshape(T, Hkv, hs)
+        v = (h @ L["v"]).reshape(T, Hkv, hs)
+        q = _rope(q, positions, params["rope_factors"], cfg.rope_theta)
+        k = _rope(k, positions, params["rope_factors"], cfg.rope_theta)
+        new_k = jax.lax.dynamic_update_slice(new_k, k[None].astype(new_k.dtype),
+                                             (l, start_pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(new_v, v[None].astype(new_v.dtype),
+                                             (l, start_pos, 0, 0))
+        attn = _gqa_attention(q, new_k[l], new_v[l], mask, cfg).astype(x.dtype)
+        x = res + attn @ L["o"]
+        res = x
+        h = _rms(x, L["post_norm"])
+        h = (jax.nn.silu(h @ L["gate"]) * (h @ L["up"])) @ L["down"]
+        x = res + h
+    x = _rms(x, params["out_norm"])
+    return x, {"k": new_k, "v": new_v}
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def orpheus_prefill(params, cfg: OrpheusConfig, tokens, n_valid, cache):
+    T = tokens.shape[0]
+    positions = jnp.minimum(jnp.arange(T), n_valid - 1)
+    x, cache = _orpheus_body(params, cfg, tokens, positions, 0, cache)
+    # logits at the last valid position
+    last = x[n_valid - 1]
+    logits = (last.astype(jnp.float32) @ params["head"].astype(jnp.float32))
+    return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
+         donate_argnames=("cache",))
+def orpheus_decode_step(params, cfg: OrpheusConfig, token, pos, cache, key,
+                        sampler_state, *, temperature=1.0, top_k: int = 0,
+                        top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
+    x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
+    logits = (x[0].astype(jnp.float32) @ params["head"].astype(jnp.float32))
+    tokens, sampler_state = sample_tokens(
+        key, logits[None], sampler_state, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+    return tokens[0], cache, sampler_state
+
+
+def redistribute_output_tokens(tokens: list[int], cfg: OrpheusConfig):
+    """7-token frames -> 3 SNAC head streams (parity: orpheus/model.cpp:371-387)."""
+    heads: list[list[int]] = [[], [], []]
+    for i in range(len(tokens) // 7):
+        for ii in range(7):
+            t = tokens[i * 7 + ii] - AUDIO_TOKEN_OFFSET - (ii % 7) * 4096
+            heads[FRAME_HEAD_MAP[ii]].append(max(int(t), 0))
+    return [np.asarray(h, np.int32) for h in heads]
+
+
+class OrpheusRunner(TTSRunner):
+    sample_rate = 24000
+    architecture = "orpheus"
+
+    def __init__(self, cfg: OrpheusConfig, params: dict, tokenizer: BPETokenizer,
+                 snac: SNACDecoder, config: GenerationConfig):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.snac = snac
+        self._cache = None
+
+    def list_voices(self):
+        return list(ORPHEUS_VOICES)
+
+    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
+        import time
+
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        if config.voice and config.voice not in ORPHEUS_VOICES:
+            raise TTSError(f"Voice '{config.voice}' is not a valid voice for Orpheus.")
+
+        t0 = time.perf_counter()
+        sentence = f"{config.voice}: {text}" if config.voice else text
+        ids = (list(PREPENDED_TOKENS) + self.tokenizer.tokenize(sentence)
+               + list(APPENDED_TOKENS))
+        if len(ids) > cfg.max_context_length:
+            raise TTSError("The prompt was too large for the default context "
+                           "window. Try splitting up or shortening the prompt.")
+        T = len(ids)
+        Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
+        tokens = np.zeros(Tb, np.int32)
+        tokens[:T] = ids
+
+        if self._cache is None:
+            self._cache = init_kv_cache(cfg)
+        cache = jax.tree_util.tree_map(lambda x: x * 0, self._cache)
+        logits, cache = orpheus_prefill(self.params, cfg, jnp.asarray(tokens),
+                                        jnp.asarray(T, jnp.int32), cache)
+        t_prefill = time.perf_counter()
+
+        key = jax.random.PRNGKey(config.seed if config.seed is not None else
+                                 np.random.randint(0, 2**31 - 1))
+        sampler_state = init_state(1)
+        # sample the first token from the prefill logits
+        key, sub = jax.random.split(key)
+        first, sampler_state = sample_tokens(
+            sub, logits[None], sampler_state, temperature=config.temperature,
+            top_k=config.top_k, top_p=config.top_p,
+            repetition_penalty=config.repetition_penalty, do_sample=config.sample)
+        outputs = [int(first[0])]
+
+        pos = T
+        max_steps = config.max_tokens or cfg.max_generation_size
+        while outputs[-1] != cfg.stopping_token_id and len(outputs) < max_steps:
+            key, sub = jax.random.split(key)
+            token, cache, sampler_state = orpheus_decode_step(
+                self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32), cache, sub, sampler_state,
+                temperature=config.temperature, top_k=config.top_k,
+                top_p=config.top_p, repetition_penalty=config.repetition_penalty,
+                do_sample=config.sample)
+            outputs.append(int(token))
+            pos += 1
+        self._cache = cache
+        t_decode = time.perf_counter()
+
+        if outputs and outputs[-1] == cfg.stopping_token_id:
+            outputs = outputs[:-1]
+        heads = redistribute_output_tokens(outputs, cfg)
+        audio = self.snac.decode(heads, seed=config.seed or 0)
+        t_end = time.perf_counter()
+        return TTSResponse(
+            audio=audio, sample_rate=self.sample_rate,
+            timings={"prefill_ms": (t_prefill - t0) * 1e3,
+                     "decode_ms": (t_decode - t_prefill) * 1e3,
+                     "decode_steps": len(outputs),
+                     "codec_ms": (t_end - t_decode) * 1e3})
+
+
+@register_loader("orpheus")
+def load_orpheus_runner(gguf_file, config: GenerationConfig) -> OrpheusRunner:
+    cfg = OrpheusConfig.from_gguf_kv(gguf_file.kv)
+    tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()}
+    params = load_orpheus_params(tensors, cfg)
+    tokenizer = BPETokenizer.from_gguf_kv(gguf_file.kv)
+    snac = SNACDecoder.from_tensors(tensors, gguf_file.kv)
+    return OrpheusRunner(cfg, params, tokenizer, snac, config)
