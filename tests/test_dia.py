@@ -1,0 +1,57 @@
+"""Dia end-to-end tests on a tiny random model."""
+
+import numpy as np
+import pytest
+
+from tts_tpu.convert.builder_dia import write_dia_gguf
+from tts_tpu.models.dia import DiaConfig, adjust_output_tokens, tokenize_dia_sentence
+from tts_tpu.models.registry import runner_from_file
+from tts_tpu.runtime.api import GenerationConfig, TTSError
+
+
+@pytest.fixture(scope="module")
+def runner(tmp_path_factory):
+    path = tmp_path_factory.mktemp("dia") / "tiny_dia.gguf"
+    write_dia_gguf(path)
+    return runner_from_file(str(path))
+
+
+def test_tokenize_speaker_tags():
+    cfg = DiaConfig(max_encoder_context_length=64)
+    toks = tokenize_dia_sentence("[S1] hi [S2] yo", cfg)
+    assert toks[0] == 1
+    assert 2 in toks
+    assert toks[-1] == ord(".")
+    # unprefixed text gets [S1]
+    toks2 = tokenize_dia_sentence("hello", cfg)
+    assert toks2[0] == 1
+
+
+def test_tokenize_too_long():
+    cfg = DiaConfig(max_encoder_context_length=16)
+    with pytest.raises(TTSError):
+        tokenize_dia_sentence("a" * 100, cfg)
+
+
+def test_generate(runner):
+    resp = runner.generate("[S1] hello there.", GenerationConfig(seed=0, max_tokens=24))
+    assert resp.sample_rate == 44100
+    assert np.isfinite(resp.audio).all()
+    assert resp.timings["decode_steps"] > 0
+    # the delay drain bounds generation
+    assert resp.timings["decode_steps"] <= 24
+
+
+def test_adjust_output_tokens_delay():
+    cfg = DiaConfig(n_output_heads=3, max_delay=2, delay_pattern=(0, 1, 2),
+                    audio_vocab_size=1000)
+    out = np.arange(18).reshape(6, 3)  # steps x heads
+    frames = adjust_output_tokens(out, cfg)
+    # frame i head h = out[i + delay[h], h]
+    np.testing.assert_array_equal(frames[0], [out[0, 0], out[1, 1], out[2, 2]])
+    np.testing.assert_array_equal(frames[1], [out[1, 0], out[2, 1], out[3, 2]])
+
+
+def test_max_tokens_guard(runner):
+    with pytest.raises(TTSError):
+        runner.generate("hi", GenerationConfig(max_tokens=5))

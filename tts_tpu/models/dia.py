@@ -1,1 +1,388 @@
-"""Placeholder — dia model lands in a later milestone of this build."""
+"""Dia: encoder-decoder dialogue TTS with classifier-free guidance (batch 2).
+
+Parity: /root/reference/src/models/dia/model.cpp — byte-level tokens with
+[S1]/[S2] -> 0x01/0x02, encoder always run at the full 1024-char context with
+a block mask (valid<->valid, pad<->pad), cond+uncond run together, NEOX RoPE
+(theta 1e4) on self *and* cross attention queries/keys, GQA decoder self-attn
+(16 q / 4 kv), unscaled softmax (Dia's convention), cfg merge
+cond + scale*(cond-uncond) with ids > EOS masked, delay pattern
+{0,8,9,10,11,12,13,14,15} with a 15-step EOS drain, and the delay un-weave
+before DAC decode.
+
+TPU design: the encoder is one jitted call; the decoder step is one jitted
+call with batch dim 2 (CFG) and an unrepeated GQA KV cache.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.codecs.dac import DACDecoder
+from tts_tpu.models.registry import register_loader
+from tts_tpu.ops.sampling import init_state, sample_tokens
+from tts_tpu.runtime.api import GenerationConfig, TTSError, TTSResponse, TTSRunner
+
+
+@dataclass(frozen=True)
+class DiaConfig:
+    n_encoder_layers: int = 12
+    n_decoder_layers: int = 18
+    encoder_hidden_size: int = 1024
+    decoder_hidden_size: int = 2048
+    encoder_attn_heads: int = 16
+    decoder_attn_heads: int = 16
+    decoder_query_heads: int = 4      # GQA group count: kv_heads = heads/groups
+    head_size: int = 128
+    n_output_heads: int = 9
+    output_vocab_size: int = 1028
+    audio_vocab_size: int = 1024
+    eos_token_id: int = 1024
+    pad_token_id: int = 1025
+    bos_token_id: int = 1026
+    max_encoder_context_length: int = 1024
+    max_generation_size: int = 3072
+    max_delay: int = 15
+    delay_pattern: tuple = (0, 8, 9, 10, 11, 12, 13, 14, 15)
+    cfg_scale: float = 3.0
+
+    @property
+    def kv_heads(self) -> int:
+        return self.decoder_attn_heads // self.decoder_query_heads
+
+    @staticmethod
+    def from_gguf_kv(kv: dict) -> "DiaConfig":
+        g = lambda k, d: int(kv.get(k, d))
+        return DiaConfig(
+            n_encoder_layers=g("dia.encoder.layers", 12),
+            n_decoder_layers=g("dia.decoder.layers", 18),
+            encoder_hidden_size=g("dia.encoder.hidden_size", 1024),
+            decoder_hidden_size=g("dia.decoder.hidden_size", 2048),
+            encoder_attn_heads=g("dia.encoder.attn_heads", 16),
+            decoder_attn_heads=g("dia.decoder.attn_heads", 16),
+            decoder_query_heads=g("dia.decoder.query_heads", 4),
+            head_size=g("dia.attn_head_size", 128),
+            n_output_heads=g("dia.decoder.output_heads", 9),
+            output_vocab_size=g("dia.decoder.output_vocab_size", 1028),
+            audio_vocab_size=g("dia.decoder.audio_vocab_size", 1024),
+            eos_token_id=g("dia.eos_token_id", 1024),
+            pad_token_id=g("dia.pad_token_id", 1025),
+            bos_token_id=g("dia.bos_token_id", 1026),
+            max_encoder_context_length=g("dia.encoder.max_context_length", 1024),
+            max_generation_size=g("dia.decoder.max_generation_size", 3072),
+            max_delay=g("dia.max_delay", 15),
+            cfg_scale=float(kv.get("dia.cfg_scale", 3.0)),
+        )
+
+
+def load_dia_params(tensors: dict, cfg: DiaConfig) -> dict:
+    def get(name):
+        t = tensors.get(name)
+        if t is None:
+            raise KeyError(f"dia: missing tensor {name}")
+        return jnp.asarray(np.asarray(t, np.float32))
+
+    enc = {"embedding": get("dia.encoder.embedding"),
+           "norm": get("dia.encoder.norm"), "layers": []}
+    for i in range(cfg.n_encoder_layers):
+        L = f"dia.encoder.layers.{i}"
+        enc["layers"].append({
+            "q": get(f"{L}.q_proj").T, "k": get(f"{L}.k_proj").T,
+            "v": get(f"{L}.v_proj").T, "o": get(f"{L}.o_proj").T,
+            "sa_norm": get(f"{L}.pre_sa_norm"),
+            "mlp_norm": get(f"{L}.post_sa_norm"),
+            "gate": get(f"{L}.gate").T, "up": get(f"{L}.up").T,
+            "wo": get(f"{L}.wo").T,
+        })
+    dec = {"norm": get("dia.decoder.norm"), "embds": [], "heads": [], "layers": []}
+    for i in range(cfg.n_output_heads):
+        dec["embds"].append(get(f"dia.decoder.embeddings.{i}"))
+        dec["heads"].append(get(f"dia.decoder.heads.{i}").T)
+    for i in range(cfg.n_decoder_layers):
+        L = f"dia.decoder.layers.{i}"
+        dec["layers"].append({
+            "sa_q": get(f"{L}.self_q_proj").T, "sa_k": get(f"{L}.self_k_proj").T,
+            "sa_v": get(f"{L}.self_v_proj").T, "sa_o": get(f"{L}.self_o_proj").T,
+            "ca_q": get(f"{L}.cross_q_proj").T, "ca_k": get(f"{L}.cross_k_proj").T,
+            "ca_v": get(f"{L}.cross_v_proj").T, "ca_o": get(f"{L}.cross_o_proj").T,
+            "sa_norm": get(f"{L}.pre_sa_norm"),
+            "ca_norm": get(f"{L}.pre_ca_norm"),
+            "mlp_norm": get(f"{L}.pre_mlp_norm"),
+            "gate": get(f"{L}.gate").T, "up": get(f"{L}.up").T,
+            "wo": get(f"{L}.wo").T,
+        })
+    return {"encoder": enc, "decoder": dec}
+
+
+def _rms(x, w, eps: float = 1e-5):
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps) * w
+
+
+def _rope(x, positions, theta: float = 10000.0):
+    """NEOX rope on [..., T, H, hs] with positions [T]."""
+    hs = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, hs, 2, dtype=jnp.float32) / hs))
+    ang = positions[:, None].astype(jnp.float32) * freqs[None, :]
+    cos = jnp.cos(ang)[..., None, :]
+    sin = jnp.sin(ang)[..., None, :]
+    x1, x2 = x[..., : hs // 2], x[..., hs // 2 :]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dia_encode(params, cfg: DiaConfig, tokens, n_valid):
+    """tokens [2, Tmax] byte ids (row 0 = cond, row 1 = uncond/zeros) ->
+    encoder states [2, Tmax, enc_hidden]."""
+    enc = params["encoder"]
+    B, T = tokens.shape
+    x = enc["embedding"][tokens]
+    positions = jnp.arange(T)
+    valid = (positions < n_valid)
+    # block mask: valid attends valid, pad attends pad (dia/model.cpp:727-736)
+    block = (valid[:, None] == valid[None, :])
+    mask = jnp.where(block, 0.0, -1e9)[None, None]       # [1, 1, T, T]
+
+    H, hs = cfg.encoder_attn_heads, cfg.head_size
+    for L in enc["layers"]:
+        res = x
+        h = _rms(x, L["sa_norm"])
+        q = (h @ L["q"]).reshape(B, T, H, hs)
+        k = (h @ L["k"]).reshape(B, T, H, hs)
+        v = (h @ L["v"]).reshape(B, T, H, hs)
+        q = _rope(q, positions)
+        k = _rope(k, positions)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) + mask   # scale 1.0 (Dia)
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, H * hs)
+        x = res + attn @ L["o"]
+        res = x
+        h = _rms(x, L["mlp_norm"])
+        x = res + (jax.nn.silu(h @ L["gate"]) * (h @ L["up"])) @ L["wo"]
+    return _rms(x, enc["norm"])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dia_cross_kv(params, cfg: DiaConfig, enc_states, n_valid):
+    """Precompute cross K (rope'd, zero beyond prompt) and V (full length)."""
+    T = enc_states.shape[1]
+    positions = jnp.arange(T)
+    valid = (positions < n_valid).astype(enc_states.dtype)[None, :, None]
+    H, hs = cfg.decoder_attn_heads, cfg.head_size
+    ks, vs = [], []
+    for L in params["decoder"]["layers"]:
+        k = (enc_states @ L["ca_k"]).reshape(2, T, H, hs)
+        k = _rope(k, positions) * valid[..., None]
+        v = (enc_states @ L["ca_v"]).reshape(2, T, H, hs)
+        ks.append(k)
+        vs.append(v)
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}       # [L, 2, T, H, hs]
+
+
+def init_dia_cache(cfg: DiaConfig) -> dict:
+    shape = (cfg.n_decoder_layers, 2, cfg.max_generation_size, cfg.kv_heads,
+             cfg.head_size)
+    return {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
+         donate_argnames=("cache",))
+def dia_decode_step(params, cfg: DiaConfig, audio_tokens, pos, cache, cross_kv,
+                    key, sampler_state, *, cfg_scale, temperature=1.0,
+                    top_k: int = 0, top_p=1.0, repetition_penalty=1.0,
+                    do_sample: bool = True):
+    """audio_tokens [9] -> (sampled [9], cache, sampler_state).
+    Runs the cond+uncond batch and merges logits with CFG."""
+    dec = params["decoder"]
+    B = 2
+    embds = jnp.stack(dec["embds"])                        # [9, vocab, hid]
+    x = jnp.sum(embds[jnp.arange(cfg.n_output_heads), audio_tokens], axis=0)
+    x = jnp.broadcast_to(x, (B, 1, x.shape[-1]))           # same tokens both rows
+
+    positions = pos[None]
+    Hq, Hkv, hs = cfg.decoder_attn_heads, cfg.kv_heads, cfg.head_size
+    group = Hq // Hkv
+    key_pos = jnp.arange(cfg.max_generation_size)
+    self_mask = jnp.where(key_pos <= pos, 0.0, -1e9)[None, None, None, None, :]
+
+    new_k, new_v = cache["k"], cache["v"]
+    for l, L in enumerate(dec["layers"]):
+        res = x
+        h = _rms(x, L["sa_norm"])
+        q = (h @ L["sa_q"]).reshape(B, 1, Hq, hs)
+        k = (h @ L["sa_k"]).reshape(B, 1, Hkv, hs)
+        v = (h @ L["sa_v"]).reshape(B, 1, Hkv, hs)
+        q = _rope(q, positions)
+        k = _rope(k, positions)
+        new_k = jax.lax.dynamic_update_slice(new_k, k.transpose(1, 0, 2, 3)[None],
+                                             (l, 0, pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(new_v, v.transpose(1, 0, 2, 3)[None],
+                                             (l, 0, pos, 0, 0))
+        qg = q.reshape(B, 1, Hkv, group, hs)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, new_k[l].transpose(1, 0, 2, 3)
+                            .reshape(B, -1, Hkv, hs)) + self_mask[:, :, :, 0]
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhgqk,bkhd->bqhgd", w,
+                          new_v[l].transpose(1, 0, 2, 3).reshape(B, -1, Hkv, hs))
+        attn = attn.reshape(B, 1, Hq * hs)
+        x = res + attn @ L["sa_o"]
+
+        res = x
+        h = _rms(x, L["ca_norm"])
+        q = (h @ L["ca_q"]).reshape(B, 1, Hq, hs)
+        q = _rope(q, positions)
+        ck, cv = cross_kv["k"][l], cross_kv["v"][l]        # [2, T, H, hs]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck)      # scale 1.0
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, cv).reshape(B, 1, Hq * hs)
+        x = res + attn @ L["ca_o"]
+
+        res = x
+        h = _rms(x, L["mlp_norm"])
+        x = res + (jax.nn.silu(h @ L["gate"]) * (h @ L["up"])) @ L["wo"]
+
+    x = _rms(x, dec["norm"])
+    heads = jnp.stack(dec["heads"])                        # [9, hid, vocab]
+    logits = jnp.einsum("bd,hdv->bhv", x[:, 0, :], heads)  # [2, 9, vocab]
+    cond, uncond = logits[0], logits[1]
+    merged = cond + cfg_scale * (cond - uncond)
+    ids = jnp.arange(cfg.output_vocab_size)
+    merged = jnp.where(ids[None, :] > cfg.eos_token_id, -jnp.inf, merged)
+    tokens, sampler_state = sample_tokens(
+        key, merged, sampler_state, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+    return tokens, {"k": new_k, "v": new_v}, sampler_state
+
+
+def tokenize_dia_sentence(text: str, cfg: DiaConfig) -> list[int]:
+    """Byte-level tokens with [S1]/[S2] -> 0x01/0x02
+    (parity: dia/model.cpp:639-685)."""
+    text = text.strip()
+    if not text.startswith("[S1]") and not text.startswith("[S2]"):
+        text = "[S1] " + text
+    if not text.endswith("."):
+        text = text + "."
+    text = text.replace("[S1]", "\x01").replace("[S2]", "\x02")
+    data = text.encode("utf-8")
+    if len(data) > cfg.max_encoder_context_length:
+        raise TTSError(
+            f"Dia currently only supports a max of {cfg.max_encoder_context_length} "
+            f"characters and received an input of {len(data)} characters.")
+    return list(data)
+
+
+def adjust_output_tokens(output: np.ndarray, cfg: DiaConfig) -> np.ndarray:
+    """Delay-pattern un-weave + invalid filter (parity: dia/model.cpp:825-847)."""
+    steps = len(output)
+    frames = []
+    delays = np.asarray(cfg.delay_pattern)
+    for i in range(max(steps - cfg.max_delay, 0)):
+        idx = i + delays
+        if idx[-1] >= steps:
+            break
+        row = output[idx, np.arange(cfg.n_output_heads)]
+        if (row < cfg.audio_vocab_size).all():
+            frames.append(row)
+    if not frames:
+        return np.zeros((0, cfg.n_output_heads), np.int32)
+    return np.stack(frames).astype(np.int32)
+
+
+class DiaRunner(TTSRunner):
+    sample_rate = 44100
+    architecture = "dia"
+
+    def __init__(self, cfg: DiaConfig, params: dict, dac: DACDecoder,
+                 config: GenerationConfig):
+        self.cfg = cfg
+        self.params = params
+        self.dac = dac
+        self._cache = None
+
+    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
+        import time
+
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        if config.max_tokens and config.max_tokens <= cfg.max_delay:
+            raise TTSError(f"max_tokens must exceed the delay window ({cfg.max_delay})")
+        max_gen = config.max_tokens or cfg.max_generation_size
+
+        t0 = time.perf_counter()
+        ids = tokenize_dia_sentence(text, cfg)
+        tokens = np.zeros((2, cfg.max_encoder_context_length), np.int32)
+        tokens[0, : len(ids)] = ids
+        enc_states = dia_encode(self.params, cfg, jnp.asarray(tokens),
+                                jnp.asarray(len(ids), jnp.int32))
+        cross = dia_cross_kv(self.params, cfg, enc_states,
+                             jnp.asarray(len(ids), jnp.int32))
+        if self._cache is None:
+            self._cache = init_dia_cache(cfg)
+        cache = jax.tree_util.tree_map(lambda x: x * 0, self._cache)
+        t_encode = time.perf_counter()
+
+        key = jax.random.PRNGKey(config.seed if config.seed is not None else
+                                 np.random.randint(0, 2**31 - 1))
+        sampler_state = init_state(cfg.n_output_heads)
+        step_tokens = np.full(cfg.n_output_heads, cfg.bos_token_id, np.int32)
+        outputs: list[np.ndarray] = []
+        pos = 0
+        delay_steps = -1
+
+        while True:
+            # stopping/drain logic (parity: check_stopping, model.cpp:806-823)
+            if delay_steps == -1 and (step_tokens[0] == cfg.eos_token_id
+                                      or pos >= max_gen - cfg.max_delay):
+                delay_steps = cfg.max_delay
+            if delay_steps > 0:
+                step_after_eos = cfg.max_delay - delay_steps
+                for i, d in enumerate(cfg.delay_pattern):
+                    if step_after_eos == d:
+                        step_tokens[i] = cfg.eos_token_id
+                    elif step_after_eos > d:
+                        step_tokens[i] = cfg.pad_token_id
+                delay_steps -= 1
+            if delay_steps == 0:
+                break
+            key, sub = jax.random.split(key)
+            sampled, cache, sampler_state = dia_decode_step(
+                self.params, cfg, jnp.asarray(step_tokens),
+                jnp.asarray(pos, jnp.int32), cache, cross, sub, sampler_state,
+                cfg_scale=cfg.cfg_scale, temperature=config.temperature,
+                top_k=config.top_k, top_p=config.top_p,
+                repetition_penalty=config.repetition_penalty,
+                do_sample=config.sample)
+            sampled = np.asarray(sampled)
+            outputs.append(sampled)
+            pos += 1
+            nxt = np.empty(cfg.n_output_heads, np.int32)
+            for i in range(cfg.n_output_heads):
+                nxt[i] = sampled[i] if pos > i else cfg.bos_token_id
+            step_tokens = nxt
+        self._cache = cache
+        t_decode = time.perf_counter()
+
+        frames = adjust_output_tokens(
+            np.stack(outputs) if outputs else np.zeros((0, cfg.n_output_heads)), cfg)
+        audio = self.dac.decode(frames)
+        t_end = time.perf_counter()
+        return TTSResponse(
+            audio=audio, sample_rate=self.sample_rate,
+            timings={"encode_ms": (t_encode - t0) * 1e3,
+                     "decode_ms": (t_decode - t_encode) * 1e3,
+                     "decode_steps": len(outputs),
+                     "codec_ms": (t_end - t_decode) * 1e3})
+
+
+@register_loader("dia")
+def load_dia_runner(gguf_file, config: GenerationConfig) -> DiaRunner:
+    cfg = DiaConfig.from_gguf_kv(gguf_file.kv)
+    tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()}
+    params = load_dia_params(tensors, cfg)
+    dac = DACDecoder.from_tensors(tensors, gguf_file.kv)
+    return DiaRunner(cfg, params, dac, config)
