@@ -1,0 +1,52 @@
+"""Quantize app tests: GGUF -> GGUF roundtrip, allowlists, model still loads."""
+
+import numpy as np
+import pytest
+
+from tts_tpu.apps.quantize import QuantizationParams, quantize_gguf
+from tts_tpu.core.gguf import GGMLType, GGUFFile
+from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
+from tts_tpu.models.registry import runner_from_file
+from tts_tpu.runtime.api import GenerationConfig
+
+
+@pytest.fixture(scope="module")
+def kokoro_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("q") / "kokoro.gguf"
+    # dims divisible by 32 so albert tensors are quantizable
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    return str(path)
+
+
+def test_quantize_q8(kokoro_path, tmp_path):
+    out = tmp_path / "kokoro_q8.gguf"
+    stats = quantize_gguf(kokoro_path, str(out), QuantizationParams(GGMLType.Q8_0))
+    assert stats["quantized"] > 0
+    assert stats["passthrough"] > 0
+    with GGUFFile(str(out)) as f:
+        assert f.architecture == "kokoro"
+        # albert attention weights should be quantized
+        assert f.tensors["kokoro.albert.layer.0.q"].ggml_type == GGMLType.Q8_0
+        # voice tensors never quantized
+        assert f.tensors["kokoro.voice_tensors.af_heart"].ggml_type == GGMLType.F32
+        # alphas/norms preserved
+        assert f.tensors["kokoro.albert.norm"].ggml_type == GGMLType.F32
+
+
+def test_quantized_model_loads_and_runs(kokoro_path, tmp_path):
+    out = tmp_path / "kokoro_q5.gguf"
+    quantize_gguf(kokoro_path, str(out), QuantizationParams(GGMLType.Q8_0))
+    runner = runner_from_file(str(out))
+    resp = runner.generate("hello", GenerationConfig(voice="af_heart"))
+    assert np.isfinite(resp.audio).all()
+    assert len(resp.audio) > 0
+
+
+def test_quantize_preserves_kv(kokoro_path, tmp_path):
+    out = tmp_path / "kokoro_f16.gguf"
+    quantize_gguf(kokoro_path, str(out),
+                  QuantizationParams(GGMLType.F16, convert_non_quantized_to_f16=True))
+    with GGUFFile(str(out)) as f:
+        with GGUFFile(kokoro_path) as orig:
+            assert f.kv["kokoro.voices"] == orig.kv["kokoro.voices"]
+            assert f.kv["tokenizer.ggml.tokens"] == orig.kv["tokenizer.ggml.tokens"]
