@@ -147,15 +147,26 @@ class GGUFTensor:
         return np.frombuffer(self._file.mm, dtype=np.uint8, count=self.nbytes, offset=start)
 
     def to_numpy(self, dtype=np.float32) -> np.ndarray:
-        """Materialize as a numpy array of `dtype` (dequantizing if needed)."""
+        """Materialize as a numpy array of `dtype` (dequantizing if needed).
+        Uses the native threaded codecs (native/ggufc) when built."""
+        from tts_tpu.core import native
+
         t = GGMLType(self.ggml_type)
+        native_fn = {GGMLType.Q4_0: native.dequant_q4_0,
+                     GGMLType.Q5_0: native.dequant_q5_0,
+                     GGMLType.Q8_0: native.dequant_q8_0}.get(t)
         if t in _NUMPY_DTYPES:
             arr = self.raw().view(_NUMPY_DTYPES[t])[: self.n_elements]
         elif t == GGMLType.BF16:
-            u16 = self.raw().view(np.uint16)[: self.n_elements].astype(np.uint32) << 16
-            arr = u16.view(np.float32)
+            arr = native.bf16_to_f32(self.raw(), self.n_elements)
+            if arr is None:
+                u16 = (self.raw().view(np.uint16)[: self.n_elements]
+                       .astype(np.uint32) << 16)
+                arr = u16.view(np.float32)
         else:
-            arr = _DEQUANT[t](self.raw(), self.n_elements)
+            arr = native_fn(self.raw(), self.n_elements) if native_fn else None
+            if arr is None:
+                arr = _DEQUANT[t](self.raw(), self.n_elements)
         return np.ascontiguousarray(arr.reshape(self.shape).astype(dtype, copy=False))
 
     def to_int8_scales(self):

@@ -403,7 +403,7 @@ def _ada_res_block(x, blk, style, mask=None):
     if "sc_w" in blk:
         if "pool_w" in blk:
             res = upsample_nearest(res, 2, axis=0)
-        res = res @ blk["sc_w"]
+        res = res @ blk["sc_w"].astype(res.dtype)
     return (cur + res) / math.sqrt(2.0), out_mask
 
 
@@ -413,7 +413,7 @@ def _gen_res_block_apply(x, blk, style, geom, mask=None):
     The pad-region is re-zeroed after every conv so that a padded-bucket run
     equals an exact-shape run (zeros beyond the true end are exactly what a
     'same' conv would pad with)."""
-    mcol = None if mask is None else mask[:, None]
+    mcol = None if mask is None else mask.astype(x.dtype)[:, None]
     inp = x
     for j in range(len(blk["convs1_w"])):
         padding, dilation = geom[j]
@@ -455,19 +455,36 @@ def _sine_source(cfg: KokoroConfig, f0, frame_mask, noise_key):
     return jnp.sin(phase) * amp + noise * noise_amp                    # [S, nh]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
-                       hidden, style_gen, style_pros, noise_key, window, wss):
+def _device_window_sq_sum(window, n_fft: int, hop: int, S: int, n_frames_out):
+    """On-device window^2 overlap sum (keeps everything in one dispatch).
+
+    `n_frames_out` = true samples // hop; the spectrum contributing to those
+    samples has n_frames_out + 1 centered frames.  Samples beyond the true
+    audio end normalize by 1."""
+    half = n_fft // 2
+    t = jnp.arange(S)[:, None]
+    j = jnp.arange(n_fft)[None, :]
+    pos = t + half - j                       # tap j of frame f lands at f*hop+j-half
+    f = pos // hop
+    contrib = ((pos % hop == 0) & (f >= 0) & (f <= n_frames_out)).astype(jnp.float32)
+    w2 = jnp.square(window.astype(jnp.float32))[None, :]
+    wss = jnp.sum(contrib * w2, axis=1)
+    cutoff = n_frames_out * hop
+    return jnp.where(jnp.arange(S) < cutoff, jnp.maximum(wss, 1e-6), 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "F"))
+def generation_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
+                       durations, hidden, style_gen, style_pros, noise_key,
+                       window):
     """The full Kokoro generation graph on padded buckets.
 
     tokens/token_mask [T]; durations [T] float (0 for padding); hidden [T, 640];
-    style_gen/style_pros [128]; window [n_fft]; wss [S] window^2-sum.
-    Returns audio [F * up_sampling_factor] where F = alignment frame bucket
-    (wss length / up_sampling_factor).
+    style_gen/style_pros [128]; window [n_fft]; F = frame bucket (static).
+    Returns audio [F * up_sampling_factor]; the caller slices the true length.
     """
     dp, dec = params["dp"], params["decoder"]
-    S = wss.shape[0]
-    F = S // cfg.up_sampling_factor           # token-frame bucket
+    S = F * cfg.up_sampling_factor
     F2 = 2 * F                                # post-upsample frame rate
 
     # alignment [F, T] from durations (device-side; model.cpp:1265-1274)
@@ -483,17 +500,18 @@ def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
     x = align @ hidden                                            # [F, 640]
     x = bilstm(x, dp["shared_lstm"]["fwd"], dp["shared_lstm"]["bwd"], mask=frame_mask)
 
-    f0 = x
+    cdtype = jnp.bfloat16                 # frame-rate compute policy (HBM-bound)
+    f0 = x.astype(cdtype)
     f0_mask = frame_mask
     for blk in dp["f0_blocks"]:
         f0, f0_mask = _ada_res_block(f0, blk, style_pros, mask=f0_mask)
-    f0_curve = f0 @ dp["f0_proj_w"] + dp["f0_proj_b"]             # [F2]
+    f0_curve = (f0.astype(jnp.float32) @ dp["f0_proj_w"] + dp["f0_proj_b"])  # [F2]
 
-    n = x
+    n = x.astype(cdtype)
     n_mask = frame_mask
     for blk in dp["n_blocks"]:
         n, n_mask = _ada_res_block(n, blk, style_pros, mask=n_mask)
-    n_curve = n @ dp["n_proj_w"] + dp["n_proj_b"]                 # [F2]
+    n_curve = (n.astype(jnp.float32) @ dp["n_proj_w"] + dp["n_proj_b"])      # [F2]
 
     # text encoder branch
     te = params["text_encoder"]
@@ -507,13 +525,14 @@ def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
     asr = align @ t                                               # [F, 512]
 
     # decoder (parity: model.cpp:1209-1232)
-    f0_d = conv1d(f0_curve[:, None], dec["f0_conv_w"], dec["f0_conv_b"],
-                  stride=2, padding=1)                            # [F, 64]
-    n_d = conv1d(n_curve[:, None], dec["n_conv_w"], dec["n_conv_b"],
-                 stride=2, padding=1)
-    cur = jnp.concatenate([asr, f0_d, n_d], axis=-1)
+    f0_d = conv1d(f0_curve[:, None].astype(cdtype), dec["f0_conv_w"],
+                  dec["f0_conv_b"], stride=2, padding=1)          # [F, 1]
+    n_d = conv1d(n_curve[:, None].astype(cdtype), dec["n_conv_w"],
+                 dec["n_conv_b"], stride=2, padding=1)
+    asr16 = asr.astype(cdtype)
+    cur = jnp.concatenate([asr16, f0_d, n_d], axis=-1)
     cur, cur_mask = _ada_res_block(cur, dec["encoder_block"], style_gen, mask=frame_mask)
-    asr_res = asr @ dec["asr_w"] + dec["asr_b"]                   # [F, 64]
+    asr_res = asr16 @ dec["asr_w"].astype(cdtype) + dec["asr_b"].astype(cdtype)
     for blk in dec["blocks"]:
         cat = jnp.concatenate([cur, asr_res, f0_d, n_d], axis=-1)
         cur, cur_mask = _ada_res_block(cat, blk, style_gen, mask=cur_mask)
@@ -524,9 +543,9 @@ def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
     source = _sine_source(cfg, f0_curve, frame2_mask, noise_key)  # [S, nh]
     har = jnp.tanh(source @ gen["m_source_w"] + gen["m_source_b"])[:, 0]   # [S]
     mag, phase = stft(har, window, cfg.n_fft, cfg.hop)            # [S/hop+1, bins]
-    har_spec = jnp.concatenate([mag, phase], axis=-1)             # [.., 2*bins]
+    har_spec = jnp.concatenate([mag, phase], axis=-1).astype(cdtype)
 
-    x = cur * cur_mask[:, None]
+    x = cur * cur_mask.astype(cdtype)[:, None]
     n_ups = len(gen["ups"])
     valid = 2 * total                     # valid frames at the current rate
     for i in range(n_ups):
@@ -538,14 +557,13 @@ def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
         if i == n_ups - 1:
             x = reflect_pad_front(x, 1)
             valid = valid + 1
-        m = (jnp.arange(x.shape[0], dtype=jnp.float32) < valid).astype(x.dtype)
+        m = (jnp.arange(x.shape[0]) < valid).astype(x.dtype)
         x = x * m[:, None]
         src = conv1d(har_spec, gen["noise_blocks"][i]["conv_w"],
                      gen["noise_blocks"][i]["conv_b"],
                      stride=cfg.noise_conv_strides[i],
                      padding=cfg.noise_conv_paddings[i])
-        sm = (jnp.arange(src.shape[0], dtype=jnp.float32)
-              < valid).astype(x.dtype)
+        sm = (jnp.arange(src.shape[0]) < valid).astype(x.dtype)
         src = src * sm[:, None]
         src = _gen_res_block_apply(src, gen["noise_blocks"][i]["res"],
                                    style_gen, cfg.noise_res_geom[i], mask=sm)
@@ -559,11 +577,15 @@ def generation_forward(params, cfg: KokoroConfig, tokens, token_mask, durations,
         x = acc / float(cfg.n_kernels)
 
     x = leaky_relu(x, 0.01)
-    x = conv1d(x, gen["out_conv_w"], gen["out_conv_b"], padding=cfg.out_conv_padding)
+    x = conv1d(x, gen["out_conv_w"], gen["out_conv_b"],
+               padding=cfg.out_conv_padding).astype(jnp.float32)
     n_bins = cfg.n_fft // 2 + 1
-    fmask = (jnp.arange(x.shape[0], dtype=jnp.float32) < valid).astype(x.dtype)[:, None]
+    fmask = (jnp.arange(x.shape[0]) < valid).astype(jnp.float32)[:, None]
     spec = jnp.exp(x[:, :n_bins]) * fmask
     ph = jnp.sin(x[:, n_bins:]) * fmask
+    n_samples_true = (total * cfg.up_sampling_factor).astype(jnp.int32)
+    wss = _device_window_sq_sum(window, cfg.n_fft, cfg.hop, S,
+                                n_samples_true // cfg.hop)
     audio = istft(spec, ph, window, wss, cfg.n_fft, cfg.hop)      # [S]
     return audio
 
@@ -636,13 +658,11 @@ class KokoroModel:
         if total <= 0:
             return np.zeros(0, np.float32)
         F = pick_bucket(total, FRAME_BUCKETS)
-        S = F * cfg.up_sampling_factor
-        n_frames_true = total * cfg.up_sampling_factor // cfg.hop
-        wss = window_squared_sum(np.asarray(self.window), cfg.n_fft, cfg.hop,
-                                 n_frames_true, out_len=S)
         style_gen, style_pros = self.voice_style(voice, T)
         audio = generation_forward(
-            self.params, cfg, jnp.asarray(tokens), jnp.asarray(mask),
+            self.params, cfg, F, jnp.asarray(tokens), jnp.asarray(mask),
             durations, hidden, style_gen, style_pros,
-            jax.random.PRNGKey(seed), self.window, jnp.asarray(wss))
-        return np.asarray(audio[: total * cfg.up_sampling_factor])
+            jax.random.PRNGKey(seed), self.window)
+        # one full-buffer transfer, sliced host-side (an on-device slice would
+        # cost an extra dispatch over the host<->TPU link)
+        return np.asarray(audio)[: total * cfg.up_sampling_factor]

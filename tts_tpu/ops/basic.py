@@ -38,17 +38,18 @@ def instance_norm_time(x, eps: float = 1e-5, mask=None):
     `mask` is [T] (1=valid) for padded-bucket execution; statistics are
     computed over valid frames only so bucketing matches exact shapes.
     """
+    x32 = x.astype(jnp.float32)          # stats in f32 regardless of policy
     if mask is None:
-        mean = jnp.mean(x, axis=0, keepdims=True)
-        var = jnp.var(x, axis=0, keepdims=True)
+        mean = jnp.mean(x32, axis=0, keepdims=True)
+        var = jnp.var(x32, axis=0, keepdims=True)
     else:
-        m = mask[:, None]
+        m = mask.astype(jnp.float32)[:, None]
         n = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(x * m, axis=0, keepdims=True) / n
-        var = jnp.sum(jnp.square(x - mean) * m, axis=0, keepdims=True) / n
-    out = (x - mean) / jnp.sqrt(var + eps)
+        mean = jnp.sum(x32 * m, axis=0, keepdims=True) / n
+        var = jnp.sum(jnp.square(x32 - mean) * m, axis=0, keepdims=True) / n
+    out = ((x32 - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
     if mask is not None:
-        out = out * mask[:, None]
+        out = out * mask.astype(x.dtype)[:, None]
     return out
 
 
@@ -56,16 +57,17 @@ def ada_instance_norm(x, gamma, beta, eps: float = 1e-5, mask=None):
     """AdaIN: instance norm over time + style-conditioned affine [C].
     Parity: kokoro/model.cpp:93-100 (norm + x*gamma + x + beta pattern)."""
     xn = instance_norm_time(x, eps=eps, mask=mask)
-    out = xn * (1.0 + gamma) + beta
+    out = xn * (1.0 + gamma).astype(x.dtype) + beta.astype(x.dtype)
     if mask is not None:
-        out = out * mask[:, None]
+        out = out * mask.astype(x.dtype)[:, None]
     return out
 
 
 def snake(x, alpha):
     """Snake activation x + sin^2(alpha*x)/alpha (arXiv 2006.08195).
     Parity: src/util.cpp:96-101.  alpha is per-channel [C], x is [T, C]."""
-    return x + jnp.square(jnp.sin(x * alpha)) / alpha
+    a = alpha.astype(x.dtype)
+    return x + jnp.square(jnp.sin(x * a)) / a
 
 
 def leaky_relu(x, negative_slope: float = 0.01):

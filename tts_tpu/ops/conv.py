@@ -21,17 +21,17 @@ def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0, dilation: int = 1
     """
     lhs = x.T[None]                      # [1, C_in, T]
     out = lax.conv_general_dilated(
-        lhs, w,
+        lhs, w.astype(x.dtype),
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,  # MXU still accumulates f32 internally
     )
     out = out[0].T                       # [T_out, C_out]
     if b is not None:
-        out = out + b
+        out = out + b.astype(x.dtype)
     return out
 
 
@@ -60,17 +60,17 @@ def conv_transpose1d(x, w, b=None, *, stride: int = 1, padding: int = 0,
     pad_hi = eff_k - 1 - padding + output_padding
     out = lax.conv_general_dilated(
         lhs,
-        jnp.flip(w, -1).transpose(1, 0, 2),   # -> [C_out, C_in, K]
+        jnp.flip(w, -1).transpose(1, 0, 2).astype(x.dtype),   # -> [C_out, C_in, K]
         window_strides=(1,),
         padding=[(pad_lo, pad_hi)],
         lhs_dilation=(stride,),
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     out = out[0].T
     if b is not None:
-        out = out + b
+        out = out + b.astype(x.dtype)
     return out
 
 

@@ -113,12 +113,14 @@ def window_squared_sum(window: np.ndarray, n_fft: int, hop: int,
     half = n_fft // 2
     tgt = np.zeros(max(cutoff, 1), np.float32)
     w2 = np.square(window.astype(np.float32))
-    for f in range(n_frames):
-        start = f * hop - half
-        lo = max(0, -start)
-        hi = min(n_fft, cutoff - start)
-        if hi > lo:
-            tgt[start + lo : start + hi] += w2[lo:hi]
+    # vectorized: window tap j contributes w2[j] at samples f*hop + (j - half)
+    # for every frame f -> one strided slice-add per tap (n_fft tiny)
+    for j in range(n_fft):
+        start = j - half
+        lo_f = (-start + hop - 1) // hop if start < 0 else 0
+        hi_f = min(n_frames, (cutoff - start + hop - 1) // hop)
+        if hi_f > lo_f:
+            tgt[lo_f * hop + start : hi_f * hop + start : hop] += w2[j]
     tgt[tgt == 0] = 1e-6
     if out_len is not None and out_len > cutoff:
         tgt = np.concatenate([tgt, np.ones(out_len - cutoff, np.float32)])
