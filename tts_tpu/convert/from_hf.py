@@ -1,0 +1,271 @@
+"""HF/torch checkpoint -> GGUF converters (the py-gguf equivalent).
+
+Each converter maps a torch state dict onto the GGUF tensor layout consumed
+by tts_tpu's loaders (and by the reference C++ runtime — the layouts are
+identical, parity: py-gguf/tts_encoders/*).  The mapping helpers are pure
+functions over {name: np.ndarray} so they are unit-testable without
+downloading checkpoints; the CLI entry points load real models via
+torch/transformers when available.
+
+Usage:
+  python -m tts_tpu.convert.from_hf kokoro --repo hexgrad/Kokoro-82M --out kokoro.gguf
+  python -m tts_tpu.convert.from_hf orpheus --repo canopylabs/orpheus-3b-0.1-ft --out orpheus.gguf
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared helpers (pure numpy)
+# ---------------------------------------------------------------------------
+
+def regularize_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray) -> np.ndarray:
+    """weight-norm -> plain weight: g * v / ||v|| (per output channel),
+    parity: py-gguf/tts_encoders/tensor_util.py."""
+    norm = np.linalg.norm(weight_v.reshape(weight_v.shape[0], -1), axis=1)
+    shape = (-1,) + (1,) * (weight_v.ndim - 1)
+    return (weight_g.reshape(shape) * weight_v / np.maximum(norm.reshape(shape), 1e-12))
+
+
+def fold_weight_norms(sd: dict) -> dict:
+    """Replace every {x.weight_g, x.weight_v} pair with x.weight."""
+    out = {}
+    for name, arr in sd.items():
+        if name.endswith(".weight_v"):
+            continue
+        if name.endswith(".weight_g"):
+            base = name[: -len(".weight_g")]
+            out[base + ".weight"] = regularize_weight_norm(arr, sd[base + ".weight_v"])
+        else:
+            out[name] = arr
+    return out
+
+
+def split_lstm_tensors(base_name: str, tensor_name: str, param: np.ndarray) -> dict:
+    """torch LSTM weight_ih_l0[_reverse] etc -> 8 GGUF tensors per direction
+    (parity: kokoro_gguf_encoder.prepare_lstm_tensor)."""
+    out = {}
+    q = param.shape[0] // 4
+    chunks = [param[i * q : (i + 1) * q] for i in range(4)]
+    layer = int(tensor_name.split("_")[2][1:])
+    rev = "reverse_" if "reverse" in tensor_name else ""
+    kind = "weights" if "weight" in tensor_name else "biases"
+    offset = 0 if "_ih_" in tensor_name else 1
+    for i, c in enumerate(chunks):
+        out[f"{base_name}.{layer}.{rev}{kind}.{i * 2 + offset}"] = c
+    return out
+
+
+def split_adain(base: str, norm_name: str, param: np.ndarray) -> dict:
+    """AdaIN fc weight/bias -> gamma/beta halves
+    (parity: prepare_adain_res_block_tensor)."""
+    h = param.shape[0] // 2
+    suffix = "weight" if param.ndim > 1 else "bias"
+    return {f"{base}.{norm_name}_gamma_{suffix}": param[:h],
+            f"{base}.{norm_name}_beta_{suffix}": param[h:]}
+
+
+# ---------------------------------------------------------------------------
+# Kokoro
+# ---------------------------------------------------------------------------
+
+ALBERT_PARTS = {
+    "embeddings.word_embeddings.weight": "token_embd",
+    "embeddings.position_embeddings.weight": "position_embd",
+    "embeddings.LayerNorm.weight": "norm",
+    "embeddings.LayerNorm.bias": "norm_bias",
+    "encoder.embedding_hidden_mapping_in.weight": "embd",
+    "encoder.embedding_hidden_mapping_in.bias": "embd_bias",
+    "full_layer_layer_norm.weight": "attn_norm",
+    "full_layer_layer_norm.bias": "attn_norm_bias",
+    "attention.query.weight": "q", "attention.query.bias": "q_bias",
+    "attention.key.weight": "k", "attention.key.bias": "k_bias",
+    "attention.value.weight": "v", "attention.value.bias": "v_bias",
+    "attention.dense.weight": "o", "attention.dense.bias": "o_bias",
+    "attention.LayerNorm.weight": "ffn_norm",
+    "attention.LayerNorm.bias": "ffn_norm_bias",
+    "ffn.weight": "ffn", "ffn.bias": "ffn_bias",
+    "ffn_output.weight": "ffn_out", "ffn_output.bias": "ffn_out_bias",
+}
+ALBERT_LAYER_PART = "encoder.albert_layer_groups.0.albert_layers.0."
+
+
+def map_kokoro_albert(sd: dict) -> dict:
+    out = {}
+    for name, param in sd.items():
+        if name in ALBERT_PARTS:
+            out[f"kokoro.albert.{ALBERT_PARTS[name]}"] = param
+        elif name.startswith(ALBERT_LAYER_PART) and name[len(ALBERT_LAYER_PART):] in ALBERT_PARTS:
+            out[f"kokoro.albert.layer.0.{ALBERT_PARTS[name[len(ALBERT_LAYER_PART):]]}"] = param
+        elif name == "embeddings.token_type_embeddings.weight":
+            out["kokoro.albert.token_type_embd"] = param[0]
+    return out
+
+
+def map_kokoro_predictor(sd: dict) -> dict:
+    """Duration-predictor module (parity: prepare_duration_predictor_tensors)."""
+    sd = fold_weight_norms(sd)
+    base = "kokoro.duration_predictor"
+    out = {}
+    for name, param in sd.items():
+        parts = name.split(".")
+        if name.startswith("text_encoder.lstms."):
+            idx = int(parts[2])
+            if idx % 2 == 1:  # AdaLayerNorm fc
+                h = param.shape[0] // 2
+                sfx = "weight" if param.ndim > 1 else "bias"
+                out[f"{base}.layers.{idx}.gamma_{sfx}"] = param[:h]
+                out[f"{base}.layers.{idx}.beta_{sfx}"] = param[h:]
+            else:
+                out.update(split_lstm_tensors(f"{base}.layers.{idx}.lstm", parts[-1], param))
+        elif name.startswith("lstm."):
+            out.update(split_lstm_tensors(f"{base}.duration_lstm", name[5:], param))
+        elif name.startswith("shared."):
+            out.update(split_lstm_tensors(f"{base}.shared_lstm", name[7:], param))
+        elif name == "F0_proj.weight":
+            out[f"{base}.f0_proj_kernel"] = param
+        elif name == "F0_proj.bias":
+            out[f"{base}.f0_proj_bias"] = param
+        elif name == "N_proj.weight":
+            out[f"{base}.n_proj_kernel"] = param
+        elif name == "N_proj.bias":
+            out[f"{base}.n_proj_bias"] = param
+        elif name == "duration_proj.linear_layer.weight":
+            out[f"{base}.duration_proj"] = param
+        elif name == "duration_proj.linear_layer.bias":
+            out[f"{base}.duration_proj_bias"] = param
+        elif parts[0] in ("N", "F0"):
+            blocks = "n_blocks" if parts[0] == "N" else "f0_blocks"
+            out.update(_map_adain_block(f"{base}.{blocks}.{parts[1]}",
+                                        ".".join(parts[2:]), param))
+    return out
+
+
+def _map_adain_block(base: str, sub: str, param: np.ndarray) -> dict:
+    parts = sub.split(".")
+    if parts[0] in ("norm1", "norm2"):
+        if parts[1] == "norm":
+            return {}
+        return split_adain(base, parts[0], param)
+    return {f"{base}.{'_'.join(parts)}": param}
+
+
+def map_kokoro_decoder(sd: dict) -> dict:
+    """Decoder + generator (parity: prepare_decoder_tensors)."""
+    sd = fold_weight_norms(sd)
+    base = "kokoro.decoder"
+    out = {}
+    for name, param in sd.items():
+        parts = name.split(".")
+        if parts[0] == "generator":
+            sub = ".".join(parts[1:])
+            g = f"{base}.generator"
+            gp = sub.split(".")
+            if gp[0] == "m_source":
+                out[f"{g}.m_source_{gp[-1]}"] = param
+            elif gp[0] == "noise_convs":
+                out[f"{g}.noise_blocks.{gp[1]}.conv_{gp[-1]}"] = param
+            elif gp[0] == "noise_res":
+                out.update(_map_gen_res_block_forward(
+                    f"{g}.noise_blocks.{gp[1]}.resblock", gp[2:], param))
+            elif gp[0] == "ups":
+                out[f"{g}.{sub}"] = param
+            elif gp[0] == "resblocks":
+                out.update(_map_gen_res_block_forward(f"{g}.resblocks.{gp[1]}", gp[2:], param))
+            elif gp[0] == "conv_post":
+                out[f"{g}.conv_post_{gp[-1]}"] = param
+        elif parts[0] == "decode":
+            out.update(_map_adain_block(f"{base}.decoder_blocks.{parts[1]}",
+                                        ".".join(parts[2:]), param))
+        elif parts[0] == "encode":
+            out.update(_map_adain_block(f"{base}.encoder_block",
+                                        ".".join(parts[1:]), param))
+        elif parts[0] in ("F0_conv", "N_conv"):
+            out[f"{base}.{'_'.join(parts).lower()}"] = param
+        elif parts[0] == "asr_res":
+            out[f"{base}.asr_conv_{parts[-1]}"] = param
+    return out
+
+
+def _map_gen_res_block_forward(base: str, gp: list, param: np.ndarray) -> dict:
+    """gp like ['adain1d_1', '0', 'fc', 'weight'] or ['convs1', '0', 'weight']."""
+    head = gp[0]
+    if head.startswith("adain"):
+        if gp[2] == "norm":
+            return {}
+        n = head[-1]
+        h = param.shape[0] // 2
+        sfx = gp[-1]
+        return {f"{base}.{gp[1]}.gamma{n}_{sfx}": param[:h],
+                f"{base}.{gp[1]}.beta{n}_{sfx}": param[h:]}
+    if gp[-1] in ("weight", "bias"):
+        return {f"{base}.{gp[1]}.{head}_{gp[-1]}": param}
+    return {f"{base}.{gp[1]}.{head}": param}
+
+
+def map_kokoro_text_encoder(sd: dict) -> dict:
+    sd = fold_weight_norms(sd)
+    base = "kokoro.text_encoder"
+    out = {}
+    for name, param in sd.items():
+        parts = name.split(".")
+        if parts[0] == "embedding":
+            out[f"{base}.embedding_weight"] = param
+        elif parts[0] == "lstm":
+            out.update(split_lstm_tensors(f"{base}.lstm", parts[1], param))
+        elif parts[0] == "cnn":
+            # cnn.{i}.{0|1}...: 0 = weight-normed conv, 1 = LayerNorm
+            idx = int(parts[1])
+            if parts[2] == "0":
+                out[f"{base}.layers.{idx}.{parts[-1]}"] = param
+            else:
+                gb = "gamma" if parts[-1] == "weight" else "beta"
+                out[f"{base}.layers.{idx}.{gb}"] = param
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI (requires torch + the model packages; mapping logic above is offline)
+# ---------------------------------------------------------------------------
+
+def convert_kokoro(repo: str, out_path: str, voices=None):
+    import torch
+    from kokoro import KPipeline
+
+    from tts_tpu.core.gguf import GGUFWriter
+
+    model = KPipeline(lang_code="a", repo_id=repo).model
+    tensors = {}
+    to_np = lambda sd: {k: v.detach().float().numpy() for k, v in sd.items()}
+    tensors.update(map_kokoro_albert(to_np(model.bert.state_dict())))
+    tensors.update(map_kokoro_predictor(to_np(model.predictor.state_dict())))
+    tensors.update(map_kokoro_text_encoder(to_np(model.text_encoder.state_dict())))
+    tensors.update(map_kokoro_decoder(to_np(model.decoder.state_dict())))
+    tensors["kokoro.duration_predictor.encode"] = model.bert_encoder.weight.detach().numpy()
+    tensors["kokoro.duration_predictor.encode_bias"] = model.bert_encoder.bias.detach().numpy()
+    raise SystemExit("full kokoro conversion requires voice packs + phonemizer "
+                     "tables; see tts_tpu/convert/README.md for the recipe")
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(prog="tts_tpu-convert", description=__doc__)
+    p.add_argument("model", choices=["kokoro", "parler", "orpheus", "dia", "t5"])
+    p.add_argument("--repo", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    if args.model == "kokoro":
+        convert_kokoro(args.repo, args.out)
+    else:
+        raise SystemExit(f"converter for {args.model} not wired to a CLI yet; "
+                         "use the mapping functions in this module")
+
+
+if __name__ == "__main__":
+    main()

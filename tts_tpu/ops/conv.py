@@ -19,17 +19,17 @@ def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0, dilation: int = 1
 
     Same semantics as torch Conv1d / ggml_conv_1d: symmetric zero padding.
     """
-    lhs = x.T[None]                      # [1, C_in, T]
+    # NWC layout end to end: activations stay [T, C] (C on lanes), so no
+    # materialized transposes around the conv (they dominated the profile)
     out = lax.conv_general_dilated(
-        lhs, w.astype(x.dtype),
+        x[None], w.transpose(2, 1, 0).astype(x.dtype),   # [K, C_in/g, C_out]
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
         preferred_element_type=x.dtype,  # MXU still accumulates f32 internally
-    )
-    out = out[0].T                       # [T_out, C_out]
+    )[0]                                 # [T_out, C_out]
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
@@ -53,22 +53,20 @@ def conv_transpose1d(x, w, b=None, *, stride: int = 1, padding: int = 0,
         return out + b if b is not None else out
 
     k = w.shape[-1]
-    # transposed conv == lhs-dilated conv with flipped kernel
-    lhs = x.T[None]                      # [1, C_in, T]
+    # transposed conv == lhs-dilated conv with flipped kernel (NWC layout)
     eff_k = dilation * (k - 1) + 1
     pad_lo = eff_k - 1 - padding
     pad_hi = eff_k - 1 - padding + output_padding
     out = lax.conv_general_dilated(
-        lhs,
-        jnp.flip(w, -1).transpose(1, 0, 2).astype(x.dtype),   # -> [C_out, C_in, K]
+        x[None],
+        jnp.flip(w, -1).transpose(2, 0, 1).astype(x.dtype),   # -> [K, C_in, C_out]
         window_strides=(1,),
         padding=[(pad_lo, pad_hi)],
         lhs_dilation=(stride,),
         rhs_dilation=(dilation,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=x.dtype,
-    )
-    out = out[0].T
+    )[0]
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
