@@ -190,25 +190,18 @@ def init_dia_cache(cfg: DiaConfig) -> dict:
     return {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
-         donate_argnames=("cache",))
-def dia_decode_step(params, cfg: DiaConfig, audio_tokens, pos, cache, cross_kv,
-                    key, sampler_state, *, cfg_scale, temperature=1.0,
-                    top_k: int = 0, top_p=1.0, repetition_penalty=1.0,
-                    do_sample: bool = True):
-    """audio_tokens [9] -> (sampled [9], cache, sampler_state).
-    Runs the cond+uncond batch and merges logits with CFG."""
+def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
+    """Shared single-step decoder body; returns (merged logits [9, V], cache)."""
     dec = params["decoder"]
     B = 2
-    embds = jnp.stack(dec["embds"])                        # [9, vocab, hid]
+    embds = jnp.stack(dec["embds"])
     x = jnp.sum(embds[jnp.arange(cfg.n_output_heads), audio_tokens], axis=0)
-    x = jnp.broadcast_to(x, (B, 1, x.shape[-1]))           # same tokens both rows
-
+    x = jnp.broadcast_to(x, (B, 1, x.shape[-1]))
     positions = pos[None]
     Hq, Hkv, hs = cfg.decoder_attn_heads, cfg.kv_heads, cfg.head_size
     group = Hq // Hkv
     key_pos = jnp.arange(cfg.max_generation_size)
-    self_mask = jnp.where(key_pos <= pos, 0.0, -1e9)[None, None, None, None, :]
+    self_mask = jnp.where(key_pos <= pos, 0.0, -1e9)[None, None, None, :]
 
     new_k, new_v = cache["k"], cache["v"]
     for l, L in enumerate(dec["layers"]):
@@ -224,22 +217,19 @@ def dia_decode_step(params, cfg: DiaConfig, audio_tokens, pos, cache, cross_kv,
         new_v = jax.lax.dynamic_update_slice(new_v, v.transpose(1, 0, 2, 3)[None],
                                              (l, 0, pos, 0, 0))
         qg = q.reshape(B, 1, Hkv, group, hs)
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, new_k[l].transpose(1, 0, 2, 3)
-                            .reshape(B, -1, Hkv, hs)) + self_mask[:, :, :, 0]
+        ck_all = new_k[l].transpose(1, 0, 2, 3).reshape(B, -1, Hkv, hs)
+        cv_all = new_v[l].transpose(1, 0, 2, 3).reshape(B, -1, Hkv, hs)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ck_all) + self_mask
         w = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum("bhgqk,bkhd->bqhgd", w,
-                          new_v[l].transpose(1, 0, 2, 3).reshape(B, -1, Hkv, hs))
-        attn = attn.reshape(B, 1, Hq * hs)
+        attn = jnp.einsum("bhgqk,bkhd->bqhgd", w, cv_all).reshape(B, 1, Hq * hs)
         x = res + attn @ L["sa_o"]
 
         res = x
         h = _rms(x, L["ca_norm"])
-        q = (h @ L["ca_q"]).reshape(B, 1, Hq, hs)
-        q = _rope(q, positions)
-        ck, cv = cross_kv["k"][l], cross_kv["v"][l]        # [2, T, H, hs]
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, ck)      # scale 1.0
+        q = _rope((h @ L["ca_q"]).reshape(B, 1, Hq, hs), positions)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, cross_kv["k"][l])
         w = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", w, cv).reshape(B, 1, Hq * hs)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w, cross_kv["v"][l]).reshape(B, 1, Hq * hs)
         x = res + attn @ L["ca_o"]
 
         res = x
@@ -247,16 +237,62 @@ def dia_decode_step(params, cfg: DiaConfig, audio_tokens, pos, cache, cross_kv,
         x = res + (jax.nn.silu(h @ L["gate"]) * (h @ L["up"])) @ L["wo"]
 
     x = _rms(x, dec["norm"])
-    heads = jnp.stack(dec["heads"])                        # [9, hid, vocab]
-    logits = jnp.einsum("bd,hdv->bhv", x[:, 0, :], heads)  # [2, 9, vocab]
-    cond, uncond = logits[0], logits[1]
-    merged = cond + cfg_scale * (cond - uncond)
+    heads = jnp.stack(dec["heads"])
+    logits = jnp.einsum("bd,hdv->bhv", x[:, 0, :], heads)
+    cond_l, uncond_l = logits[0], logits[1]
+    merged = cond_l + cfg.cfg_scale * (cond_l - uncond_l)
     ids = jnp.arange(cfg.output_vocab_size)
     merged = jnp.where(ids[None, :] > cfg.eos_token_id, -jnp.inf, merged)
-    tokens, sampler_state = sample_tokens(
-        key, merged, sampler_state, temperature=temperature, top_k=top_k,
-        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
-    return tokens, {"k": new_k, "v": new_v}, sampler_state
+    return merged, {"k": new_k, "v": new_v}
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
+         donate_argnames=("cache",))
+def dia_decode_loop(params, cfg: DiaConfig, limit, cache, cross_kv, key,
+                    sampler_state, *, temperature=1.0, top_k: int = 0,
+                    top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
+    """Full CFG decode with the EOS delay-drain in one dispatch
+    (parity: generate_from_batch + check_stopping, dia/model.cpp:806-870)."""
+    H = cfg.n_output_heads
+    max_steps = cfg.max_generation_size
+    delays = jnp.asarray(cfg.delay_pattern)
+    head_idx = jnp.arange(H)
+    out = jnp.full((max_steps, H), cfg.pad_token_id, jnp.int32)
+
+    def cond(state):
+        step, pos, tokens, delay, cache, key, sstate, out = state
+        return (delay != 0) & (step < max_steps)
+
+    def body(state):
+        step, pos, tokens, delay, cache, key, sstate, out = state
+        merged, cache = _dia_step(params, cfg, tokens, pos, cache, cross_kv)
+        key, sub = jax.random.split(key)
+        sampled, sstate = sample_tokens(
+            sub, merged, sstate, temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            do_sample=do_sample)
+        out = out.at[step].set(sampled)
+        pos = pos + 1
+        nxt = jnp.where(pos > head_idx, sampled, cfg.bos_token_id).astype(jnp.int32)
+        # stopping / drain for the NEXT step (check_stopping semantics)
+        trigger = (delay == -1) & ((nxt[0] == cfg.eos_token_id)
+                                   | (pos >= limit - cfg.max_delay))
+        delay = jnp.where(trigger, cfg.max_delay, delay)
+        step_after = cfg.max_delay - delay
+        nxt = jnp.where(delay > 0,
+                        jnp.where(step_after == delays, cfg.eos_token_id,
+                                  jnp.where(step_after > delays, cfg.pad_token_id,
+                                            nxt)),
+                        nxt).astype(jnp.int32)
+        delay = jnp.where(delay > 0, delay - 1, delay)
+        return (step + 1, pos, nxt, delay, cache, key, sstate, out)
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.full((H,), cfg.bos_token_id, jnp.int32),
+            jnp.asarray(-1, jnp.int32), cache, key, sampler_state, out)
+    step, pos, tokens, delay, cache, key, sstate, out = jax.lax.while_loop(
+        cond, body, init)
+    return out, step, cache, sstate
 
 
 def tokenize_dia_sentence(text: str, cfg: DiaConfig) -> list[int]:
@@ -329,46 +365,21 @@ class DiaRunner(TTSRunner):
         key = jax.random.PRNGKey(config.seed if config.seed is not None else
                                  np.random.randint(0, 2**31 - 1))
         sampler_state = init_state(cfg.n_output_heads)
-        step_tokens = np.full(cfg.n_output_heads, cfg.bos_token_id, np.int32)
-        outputs: list[np.ndarray] = []
-        pos = 0
-        delay_steps = -1
 
-        while True:
-            # stopping/drain logic (parity: check_stopping, model.cpp:806-823)
-            if delay_steps == -1 and (step_tokens[0] == cfg.eos_token_id
-                                      or pos >= max_gen - cfg.max_delay):
-                delay_steps = cfg.max_delay
-            if delay_steps > 0:
-                step_after_eos = cfg.max_delay - delay_steps
-                for i, d in enumerate(cfg.delay_pattern):
-                    if step_after_eos == d:
-                        step_tokens[i] = cfg.eos_token_id
-                    elif step_after_eos > d:
-                        step_tokens[i] = cfg.pad_token_id
-                delay_steps -= 1
-            if delay_steps == 0:
-                break
-            key, sub = jax.random.split(key)
-            sampled, cache, sampler_state = dia_decode_step(
-                self.params, cfg, jnp.asarray(step_tokens),
-                jnp.asarray(pos, jnp.int32), cache, cross, sub, sampler_state,
-                cfg_scale=cfg.cfg_scale, temperature=config.temperature,
-                top_k=config.top_k, top_p=config.top_p,
-                repetition_penalty=config.repetition_penalty,
-                do_sample=config.sample)
-            sampled = np.asarray(sampled)
-            outputs.append(sampled)
-            pos += 1
-            nxt = np.empty(cfg.n_output_heads, np.int32)
-            for i in range(cfg.n_output_heads):
-                nxt[i] = sampled[i] if pos > i else cfg.bos_token_id
-            step_tokens = nxt
+        # one dispatch: CFG decode + delay-drain run on device
+        out_tokens, n_steps, cache, sampler_state = dia_decode_loop(
+            self.params, cfg, jnp.asarray(max_gen, jnp.int32), cache, cross,
+            key, sampler_state, temperature=config.temperature,
+            top_k=config.top_k, top_p=config.top_p,
+            repetition_penalty=config.repetition_penalty,
+            do_sample=config.sample)
+        n_steps = int(n_steps)
+        outputs = np.asarray(out_tokens)[:n_steps]
         self._cache = cache
         t_decode = time.perf_counter()
 
         frames = adjust_output_tokens(
-            np.stack(outputs) if outputs else np.zeros((0, cfg.n_output_heads)), cfg)
+            outputs if n_steps else np.zeros((0, cfg.n_output_heads)), cfg)
         audio = self.dac.decode(frames)
         t_end = time.perf_counter()
         return TTSResponse(

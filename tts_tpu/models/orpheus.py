@@ -217,6 +217,43 @@ def orpheus_decode_step(params, cfg: OrpheusConfig, token, pos, cache, key,
     return tokens[0], cache, sampler_state
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "top_k", "do_sample"),
+         donate_argnames=("cache",))
+def orpheus_decode_loop(params, cfg: OrpheusConfig, first_token, start_pos,
+                        limit, cache, key, sampler_state, *, max_steps: int,
+                        temperature=1.0, top_k: int = 0, top_p=1.0,
+                        repetition_penalty=1.0, do_sample: bool = True):
+    """Whole AR generation in ONE dispatch: a `lax.while_loop` that decodes up
+    to `limit` (<= static max_steps) tokens on device, stopping at the stop
+    token.  Per-step host round-trips (15-50 ms each over the host<->TPU link)
+    would otherwise dominate; this keeps decode at weights-bandwidth speed.
+
+    Returns (tokens [max_steps] int32 padded with stop_token, n_generated,
+    cache, sampler_state)."""
+    out = jnp.full((max_steps,), cfg.stopping_token_id, jnp.int32)
+
+    def cond(state):
+        i, token, pos, cache, key, sstate, out = state
+        return (i < limit) & (token != cfg.stopping_token_id)
+
+    def body(state):
+        i, token, pos, cache, key, sstate, out = state
+        x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
+        logits = (x[0].astype(jnp.float32) @ params["head"].astype(jnp.float32))
+        key, sub = jax.random.split(key)
+        tokens, sstate = sample_tokens(
+            sub, logits[None], sstate, temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            do_sample=do_sample)
+        out = out.at[i].set(tokens[0])
+        return (i + 1, tokens[0], pos + 1, cache, key, sstate, out)
+
+    init = (jnp.asarray(0, jnp.int32), first_token, start_pos, cache, key,
+            sampler_state, out)
+    i, token, pos, cache, key, sstate, out = jax.lax.while_loop(cond, body, init)
+    return out, i, cache, sstate
+
+
 def redistribute_output_tokens(tokens: list[int], cfg: OrpheusConfig):
     """7-token frames -> 3 SNAC head streams (parity: orpheus/model.cpp:371-387)."""
     heads: list[list[int]] = [[], [], []]
@@ -278,24 +315,23 @@ class OrpheusRunner(TTSRunner):
             sub, logits[None], sampler_state, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
             repetition_penalty=config.repetition_penalty, do_sample=config.sample)
-        outputs = [int(first[0])]
 
-        pos = T
-        max_steps = config.max_tokens or cfg.max_generation_size
-        while outputs[-1] != cfg.stopping_token_id and len(outputs) < max_steps:
-            key, sub = jax.random.split(key)
-            token, cache, sampler_state = orpheus_decode_step(
-                self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
-                jnp.asarray(pos, jnp.int32), cache, sub, sampler_state,
-                temperature=config.temperature, top_k=config.top_k,
-                top_p=config.top_p, repetition_penalty=config.repetition_penalty,
-                do_sample=config.sample)
-            outputs.append(int(token))
-            pos += 1
+        max_steps = min(config.max_tokens or cfg.max_generation_size,
+                        cfg.max_generation_size)
+        # one dispatch: the whole AR loop runs on device
+        tokens_arr, n_generated, cache, sampler_state = orpheus_decode_loop(
+            self.params, cfg, first[0], jnp.asarray(T, jnp.int32),
+            jnp.asarray(max_steps - 1, jnp.int32), cache, key, sampler_state,
+            max_steps=cfg.max_generation_size,
+            temperature=config.temperature, top_k=config.top_k,
+            top_p=config.top_p, repetition_penalty=config.repetition_penalty,
+            do_sample=config.sample)
+        n = int(n_generated)
+        outputs = [int(first[0])] + [int(t) for t in np.asarray(tokens_arr)[:n]]
         self._cache = cache
         t_decode = time.perf_counter()
 
-        if outputs and outputs[-1] == cfg.stopping_token_id:
+        while outputs and outputs[-1] == cfg.stopping_token_id:
             outputs = outputs[:-1]
         heads = redistribute_output_tokens(outputs, cfg)
         audio = self.snac.decode(heads, seed=config.seed or 0)

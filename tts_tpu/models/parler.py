@@ -231,6 +231,52 @@ def parler_decode_step(params, cfg: ParlerConfig, audio_tokens, pos, cache,
     return tokens, cache, sampler_state
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "use_cross", "top_k",
+                                   "do_sample"),
+         donate_argnames=("cache",))
+def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
+                       cross_kv, key, sampler_state, *, max_steps: int,
+                       use_cross: bool = True, temperature=1.0, top_k: int = 0,
+                       top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
+    """The whole 9-head AR loop in one dispatch: BOS-delay staircase, per-head
+    EOS tracking, and stop-when-all-heads-done run on device
+    (parity: generate_from_batch, parler/model.cpp:762-793)."""
+    H = cfg.n_output_heads
+    out = jnp.full((max_steps, H), cfg.eos_token_id, jnp.int32)
+    embds = jnp.stack(params["embds"])
+    heads = jnp.stack(params["heads"])
+    head_idx = jnp.arange(H)
+
+    def cond(state):
+        step, pos, tokens, eos_seen, cache, key, sstate, out = state
+        return (step < limit) & ~jnp.all(eos_seen)
+
+    def body(state):
+        step, pos, tokens, eos_seen, cache, key, sstate, out = state
+        x = jnp.sum(embds[head_idx, tokens], axis=0) + params["positional"][pos]
+        x, cache = _transformer(params, cfg, x[None], cache, pos, pos[None],
+                                cross_kv if use_cross else None)
+        logits = jnp.einsum("d,hdv->hv", x[0], heads)
+        key, sub = jax.random.split(key)
+        sampled, sstate = sample_tokens(
+            sub, logits, sstate, temperature=temperature, top_k=top_k,
+            top_p=top_p, repetition_penalty=repetition_penalty,
+            do_sample=do_sample)
+        out = out.at[step].set(sampled)
+        eos_seen = eos_seen | (sampled == cfg.eos_token_id)
+        nxt = jnp.where(step + 1 > head_idx,
+                        jnp.where(eos_seen, cfg.eos_token_id, sampled),
+                        cfg.bos_token_id).astype(jnp.int32)
+        return (step + 1, pos + 1, nxt, eos_seen, cache, key, sstate, out)
+
+    init = (jnp.asarray(0, jnp.int32), start_pos,
+            jnp.full((H,), cfg.bos_token_id, jnp.int32),
+            jnp.zeros((H,), bool), cache, key, sampler_state, out)
+    step, pos, tokens, eos_seen, cache, key, sstate, out = jax.lax.while_loop(
+        cond, body, init)
+    return out, step, cache, sstate
+
+
 def adjust_output_tokens(output: np.ndarray, cfg: ParlerConfig) -> np.ndarray:
     """Delay un-weave + invalid-token filter (parity: model.cpp:734-760).
     output [steps, 9] -> [frames, 9] with frame i head ii = output[i+ii, ii]."""
@@ -299,45 +345,27 @@ class ParlerRunner(TTSRunner):
         key = jax.random.PRNGKey(config.seed if config.seed is not None else
                                  np.random.randint(0, 2**31 - 1))
         sampler_state = init_state(cfg.n_output_heads)
-        eos_seen = np.zeros(cfg.n_output_heads, bool)
-        outputs: list[np.ndarray] = []
-        step_tokens = np.full(cfg.n_output_heads, cfg.bos_token_id, np.int32)
-        pos = T
-        max_steps = (config.max_tokens or cfg.max_generation_size)
+        max_steps = min(config.max_tokens or cfg.max_generation_size,
+                        cfg.max_generation_size, cfg.max_ctx_length - T)
         t_prefill = time.perf_counter()
 
-        step = 0
-        while pos < cfg.max_ctx_length and step < max_steps:
-            key, sub = jax.random.split(key)
-            sampled, cache, sampler_state = parler_decode_step(
-                self.params, cfg, jnp.asarray(step_tokens), jnp.asarray(pos, jnp.int32),
-                cache, self.cross_kv, sub, sampler_state,
-                use_cross=use_cross, temperature=config.temperature,
-                top_k=config.top_k, top_p=config.top_p,
-                repetition_penalty=config.repetition_penalty,
-                do_sample=config.sample)
-            sampled = np.asarray(sampled)
-            outputs.append(sampled)
-            eos_seen |= sampled == cfg.eos_token_id
-            if eos_seen.all():
-                break
-            # BOS-delay staircase: head i starts emitting at step i
-            # (parity: model.cpp:778-785)
-            nxt = np.empty(cfg.n_output_heads, np.int32)
-            for i in range(cfg.n_output_heads):
-                if step + 1 > i:
-                    nxt[i] = cfg.eos_token_id if eos_seen[i] else sampled[i]
-                else:
-                    nxt[i] = cfg.bos_token_id
-            step_tokens = nxt
-            pos += 1
-            step += 1
+        # one dispatch: the whole AR loop runs on device
+        out_tokens, n_steps, cache, sampler_state = parler_decode_loop(
+            self.params, cfg, jnp.asarray(T, jnp.int32),
+            jnp.asarray(max_steps, jnp.int32), cache, self.cross_kv, key,
+            sampler_state, max_steps=cfg.max_generation_size,
+            use_cross=use_cross, temperature=config.temperature,
+            top_k=config.top_k, top_p=config.top_p,
+            repetition_penalty=config.repetition_penalty,
+            do_sample=config.sample)
+        n_steps = int(n_steps)
+        outputs = np.asarray(out_tokens)[:n_steps]
 
         self._cache = cache
         t_decode = time.perf_counter()
 
-        frames = adjust_output_tokens(np.stack(outputs) if outputs else
-                                      np.zeros((0, cfg.n_output_heads)), cfg)
+        frames = adjust_output_tokens(
+            outputs if n_steps else np.zeros((0, cfg.n_output_heads)), cfg)
         audio = self.dac.decode(frames)
         t_end = time.perf_counter()
         return TTSResponse(
