@@ -64,3 +64,12 @@ def test_bucket_invariance(tiny_runner):
 def test_empty_text(tiny_runner):
     resp = tiny_runner.generate("...", GenerationConfig(voice="af_heart"))
     assert len(resp.audio) == 0
+
+
+def test_generate_stream_chunks(tiny_runner):
+    from tts_tpu.runtime.api import GenerationConfig
+    chunks = list(tiny_runner.generate_stream("hello. world.",
+                                              GenerationConfig(voice="af_heart")))
+    assert len(chunks) == 2
+    for c in chunks:
+        assert len(c) > 0 and np.isfinite(c).all()

@@ -1,0 +1,79 @@
+"""Quantized matmul kernel tests (Pallas interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tts_tpu.core import quant
+from tts_tpu.ops.qmatmul import (
+    QBLOCK, linear, pack_q8_weight, quantized_matmul, quantized_matmul_ref,
+)
+
+
+def make_q8(rng, out_dim, in_dim):
+    w = rng.standard_normal((out_dim, in_dim)).astype(np.float32)
+    raw = quant.quantize_q8_0(w)
+    values, scales = quant.q8_0_to_int8_scales(np.frombuffer(raw, np.uint8),
+                                               w.size)
+    wq = jnp.asarray(values.reshape(out_dim, in_dim).T.copy())
+    sc = jnp.asarray(scales.reshape(out_dim, in_dim // QBLOCK).T.copy())
+    wd = quant.dequantize_q8_0(np.frombuffer(raw, np.uint8), w.size).reshape(out_dim, in_dim)
+    return wq, sc, wd
+
+
+def test_ref_matches_dequant(rng):
+    wq, sc, wd = make_q8(rng, 64, 96)
+    x = rng.standard_normal((4, 96)).astype(np.float32)
+    got = np.asarray(quantized_matmul_ref(jnp.asarray(x), wq, sc))
+    want = x @ wd.T
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_kernel_matches_ref(rng):
+    wq, sc, wd = make_q8(rng, 256, 128)
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    got = np.asarray(quantized_matmul(jnp.asarray(x), wq, sc, tile_n=128,
+                                      interpret=True))
+    want = np.asarray(quantized_matmul_ref(jnp.asarray(x), wq, sc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_vector_input(rng):
+    wq, sc, _ = make_q8(rng, 256, 64)
+    x = rng.standard_normal(64).astype(np.float32)
+    got = quantized_matmul(jnp.asarray(x), wq, sc, tile_n=128, interpret=True)
+    assert got.shape == (256,)
+
+
+def test_ragged_tail_fallback(rng):
+    wq, sc, _ = make_q8(rng, 100, 64)   # N=100 not divisible by tile
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    got = np.asarray(quantized_matmul(jnp.asarray(x), wq, sc, tile_n=256))
+    want = np.asarray(quantized_matmul_ref(jnp.asarray(x), wq, sc))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_linear_dispatch(rng):
+    wq, sc, wd = make_q8(rng, 128, 64)
+    x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+    dense = linear(x, {"w": jnp.asarray(wd.T)})
+    quantized = linear(x, {"wq": wq, "scales": sc})
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(quantized),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_pack_q8_weight(tmp_path, rng):
+    from tts_tpu.core.gguf import GGMLType, GGUFFile, GGUFWriter
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    wr = GGUFWriter(tmp_path / "q.gguf")
+    wr.add_kv("general.architecture", "dummy")
+    wr.add_tensor("w", w, GGMLType.Q8_0)
+    wr.write()
+    with GGUFFile(tmp_path / "q.gguf") as f:
+        p = pack_q8_weight(f.tensors["w"])
+        wd = f.tensors["w"].to_numpy()
+    x = jnp.asarray(rng.standard_normal((2, 96)).astype(np.float32))
+    got = np.asarray(linear(x, p))
+    want = x @ wd.T
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-3)

@@ -89,6 +89,19 @@ def main(argv=None) -> int:
         "total_audio_seconds": round(audio_seconds, 3),
         "real_time_factor": round(rtf, 6),
     }
+
+    # p50 time-to-first-audio via the streaming path, when supported
+    if hasattr(runner, "generate_stream"):
+        ttfas = []
+        for s in sentences[: min(len(sentences), 10)]:
+            t0 = time.perf_counter()
+            for _chunk in runner.generate_stream(s, config):
+                ttfas.append((time.perf_counter() - t0) * 1e3)
+                break
+        if ttfas:
+            ttfas.sort()
+            report["p50_time_to_first_audio_ms"] = round(
+                ttfas[len(ttfas) // 2], 3)
     if args.json:
         print(json.dumps(report))
     else:

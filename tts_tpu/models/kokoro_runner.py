@@ -72,6 +72,29 @@ class KokoroRunner(TTSRunner):
     def list_voices(self) -> list[str]:
         return sorted(self.model.params["voices"])
 
+    # -- streaming ----------------------------------------------------------
+    def generate_stream(self, text: str, config: GenerationConfig | None = None):
+        """Yield audio chunks clause-by-clause for low time-to-first-audio.
+
+        The reference decodes whole utterances (SURVEY.md §7 flags streaming
+        as the TTFA lever); here each clause is synthesized as its own small
+        frame bucket so the first chunk is ready in ~duration+generation of a
+        single clause."""
+        config = config or GenerationConfig()
+        voice = config.voice or self.default_voice
+        if voice not in self.model.params["voices"]:
+            raise TTSError(f"unknown Kokoro voice '{voice}'")
+        cfg = self.model.cfg
+        seed = config.seed if config.seed is not None else 0
+
+        normalized = re.sub(r"[,;:]", "--", text).replace("\n", " ")
+        phonemes = self.phonemizer.text_to_phonemes(normalized)
+        clauses = [c for c in re.split(r"[.!?]", phonemes) if c.strip()]
+        for tokens in self.tokenize_chunks(clauses):
+            audio = self.model.synthesize(tokens, voice, seed=seed)
+            if len(audio):
+                yield audio
+
     # -- generation ----------------------------------------------------------
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
         config = config or GenerationConfig()

@@ -28,6 +28,7 @@ from jax.sharding import PartitionSpec as P
 
 from tts_tpu.codecs.snac import SNACDecoder
 from tts_tpu.models.registry import register_loader
+from tts_tpu.ops.qmatmul import linear
 from tts_tpu.ops.sampling import init_state, sample_tokens
 from tts_tpu.runtime.api import GenerationConfig, TTSError, TTSResponse, TTSRunner
 from tts_tpu.text.tokenizers import BPETokenizer
@@ -78,16 +79,37 @@ class OrpheusConfig:
 
 
 def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -> dict:
-    def get(name, cast=True):
+    """tensors: name -> numpy array OR GGUFTensor.  Q8_0/Q4_0 GGUF weights
+    stay int8 on device and run through the Pallas quantized matmul (half the
+    HBM bytes per decode step)."""
+    from tts_tpu.core.gguf import GGMLType, GGUFTensor
+    from tts_tpu.ops.qmatmul import pack_q8_weight
+
+    def raw(name):
         t = tensors.get(name)
         if t is None:
             raise KeyError(f"orpheus: missing tensor {name}")
+        return t
+
+    def get(name, cast=True):
+        t = raw(name)
+        if isinstance(t, GGUFTensor):
+            t = t.to_numpy()
         arr = jnp.asarray(np.asarray(t, np.float32))
         return arr.astype(dtype) if cast else arr
 
+    def lin(name):
+        """Linear weight: {"w": dense [in, out]} or {"wq","scales"} int8."""
+        t = raw(name)
+        if (isinstance(t, GGUFTensor)
+                and t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0)
+                and t.shape[1] % 32 == 0):
+            return pack_q8_weight(t)
+        return {"w": get(name).T}
+
     p = {
         "embd": get("orpheus.embed_tokens"),
-        "head": get("orpheus.lm_head").T,
+        "head": lin("orpheus.lm_head"),
         "out_norm": get("orpheus.norm", cast=False),
         "rope_factors": get("orpheus.rope_frequencies", cast=False),
         "layers": [],
@@ -96,27 +118,33 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
         L = f"orpheus.layers.{l}"
         p["layers"].append({
             "in_norm": get(f"{L}.input_layernorm", cast=False),
-            "q": get(f"{L}.self_attn.q_proj").T,
-            "k": get(f"{L}.self_attn.k_proj").T,
-            "v": get(f"{L}.self_attn.v_proj").T,
-            "o": get(f"{L}.self_attn.o_proj").T,
+            "q": lin(f"{L}.self_attn.q_proj"),
+            "k": lin(f"{L}.self_attn.k_proj"),
+            "v": lin(f"{L}.self_attn.v_proj"),
+            "o": lin(f"{L}.self_attn.o_proj"),
             "post_norm": get(f"{L}.post_attention_layernorm", cast=False),
-            "gate": get(f"{L}.mlp.gate_proj").T,
-            "up": get(f"{L}.mlp.up_proj").T,
-            "down": get(f"{L}.mlp.down_proj").T,
+            "gate": lin(f"{L}.mlp.gate_proj"),
+            "up": lin(f"{L}.mlp.up_proj"),
+            "down": lin(f"{L}.mlp.down_proj"),
         })
     return p
 
 
 def orpheus_param_specs(params) -> dict:
-    """Tensor-parallel PartitionSpecs: heads/MLP sharded on 'tp'."""
+    """Tensor-parallel PartitionSpecs: heads/MLP sharded on 'tp'.
+    Linear params are dicts ({"w"} dense or {"wq","scales"} int8); both shard
+    the output dim for q/k/v/gate/up/head and the input dim for o/down."""
+    def lin_spec(p, out_sharded):
+        spec = P(None, "tp") if out_sharded else P("tp", None)
+        return {k: spec for k in p}
+
     specs = jax.tree_util.tree_map(lambda _: P(), params)
-    for L in specs["layers"]:
+    for L, Ls in zip(params["layers"], specs["layers"]):
         for n in ("q", "k", "v", "gate", "up"):
-            L[n] = P(None, "tp")
+            Ls[n] = lin_spec(L[n], True)
         for n in ("o", "down"):
-            L[n] = P("tp", None)
-    specs["head"] = P(None, "tp")
+            Ls[n] = lin_spec(L[n], False)
+    specs["head"] = lin_spec(params["head"], True)
     return specs
 
 
@@ -174,9 +202,9 @@ def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
     for l, L in enumerate(params["layers"]):
         res = x
         h = _rms(x, L["in_norm"])
-        q = (h @ L["q"]).reshape(T, Hq, hs)
-        k = (h @ L["k"]).reshape(T, Hkv, hs)
-        v = (h @ L["v"]).reshape(T, Hkv, hs)
+        q = linear(h, L["q"]).astype(x.dtype).reshape(T, Hq, hs)
+        k = linear(h, L["k"]).astype(x.dtype).reshape(T, Hkv, hs)
+        v = linear(h, L["v"]).astype(x.dtype).reshape(T, Hkv, hs)
         q = _rope(q, positions, params["rope_factors"], cfg.rope_theta)
         k = _rope(k, positions, params["rope_factors"], cfg.rope_theta)
         new_k = jax.lax.dynamic_update_slice(new_k, k[None].astype(new_k.dtype),
@@ -184,10 +212,11 @@ def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
         new_v = jax.lax.dynamic_update_slice(new_v, v[None].astype(new_v.dtype),
                                              (l, start_pos, 0, 0))
         attn = _gqa_attention(q, new_k[l], new_v[l], mask, cfg).astype(x.dtype)
-        x = res + attn @ L["o"]
+        x = res + linear(attn, L["o"]).astype(x.dtype)
         res = x
         h = _rms(x, L["post_norm"])
-        h = (jax.nn.silu(h @ L["gate"]) * (h @ L["up"])) @ L["down"]
+        h = jax.nn.silu(linear(h, L["gate"])) * linear(h, L["up"])
+        h = linear(h.astype(x.dtype), L["down"]).astype(x.dtype)
         x = res + h
     x = _rms(x, params["out_norm"])
     return x, {"k": new_k, "v": new_v}
@@ -200,7 +229,7 @@ def orpheus_prefill(params, cfg: OrpheusConfig, tokens, n_valid, cache):
     x, cache = _orpheus_body(params, cfg, tokens, positions, 0, cache)
     # logits at the last valid position
     last = x[n_valid - 1]
-    logits = (last.astype(jnp.float32) @ params["head"].astype(jnp.float32))
+    logits = linear(last.astype(jnp.float32), params["head"])
     return logits, cache
 
 
@@ -210,7 +239,7 @@ def orpheus_decode_step(params, cfg: OrpheusConfig, token, pos, cache, key,
                         sampler_state, *, temperature=1.0, top_k: int = 0,
                         top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
     x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
-    logits = (x[0].astype(jnp.float32) @ params["head"].astype(jnp.float32))
+    logits = linear(x[0].astype(jnp.float32), params["head"])
     tokens, sampler_state = sample_tokens(
         key, logits[None], sampler_state, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
@@ -239,7 +268,7 @@ def orpheus_decode_loop(params, cfg: OrpheusConfig, first_token, start_pos,
     def body(state):
         i, token, pos, cache, key, sstate, out = state
         x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
-        logits = (x[0].astype(jnp.float32) @ params["head"].astype(jnp.float32))
+        logits = linear(x[0].astype(jnp.float32), params["head"])
         key, sub = jax.random.split(key)
         tokens, sstate = sample_tokens(
             sub, logits[None], sstate, temperature=temperature, top_k=top_k,
@@ -347,8 +376,9 @@ class OrpheusRunner(TTSRunner):
 @register_loader("orpheus")
 def load_orpheus_runner(gguf_file, config: GenerationConfig) -> OrpheusRunner:
     cfg = OrpheusConfig.from_gguf_kv(gguf_file.kv)
-    tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()}
-    params = load_orpheus_params(tensors, cfg)
+    params = load_orpheus_params(dict(gguf_file.tensors), cfg)
+    snac_tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()
+                    if n.startswith("snac.")}
     tokenizer = BPETokenizer.from_gguf_kv(gguf_file.kv)
-    snac = SNACDecoder.from_tensors(tensors, gguf_file.kv)
+    snac = SNACDecoder.from_tensors(snac_tensors, gguf_file.kv)
     return OrpheusRunner(cfg, params, tokenizer, snac, config)

@@ -19,17 +19,20 @@ def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0, dilation: int = 1
 
     Same semantics as torch Conv1d / ggml_conv_1d: symmetric zero padding.
     """
-    # NWC layout end to end: activations stay [T, C] (C on lanes), so no
-    # materialized transposes around the conv (they dominated the profile)
+    # NCH layout: measured faster end-to-end on v5e than NWC here — XLA fuses
+    # the surrounding elementwise chains far better in this layout (an NWC
+    # variant cut the transpose copies but made loop fusions ~5x slower/op)
+    lhs = x.T[None]                      # [1, C_in, T]
     out = lax.conv_general_dilated(
-        x[None], w.transpose(2, 1, 0).astype(x.dtype),   # [K, C_in/g, C_out]
+        lhs, w.astype(x.dtype),
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
+        dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=groups,
         preferred_element_type=x.dtype,  # MXU still accumulates f32 internally
-    )[0]                                 # [T_out, C_out]
+    )
+    out = out[0].T                       # [T_out, C_out]
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
@@ -53,20 +56,22 @@ def conv_transpose1d(x, w, b=None, *, stride: int = 1, padding: int = 0,
         return out + b if b is not None else out
 
     k = w.shape[-1]
-    # transposed conv == lhs-dilated conv with flipped kernel (NWC layout)
+    # transposed conv == lhs-dilated conv with flipped kernel
+    lhs = x.T[None]                      # [1, C_in, T]
     eff_k = dilation * (k - 1) + 1
     pad_lo = eff_k - 1 - padding
     pad_hi = eff_k - 1 - padding + output_padding
     out = lax.conv_general_dilated(
-        x[None],
-        jnp.flip(w, -1).transpose(2, 0, 1).astype(x.dtype),   # -> [K, C_in, C_out]
+        lhs,
+        jnp.flip(w, -1).transpose(1, 0, 2).astype(x.dtype),   # -> [C_out, C_in, K]
         window_strides=(1,),
         padding=[(pad_lo, pad_hi)],
         lhs_dilation=(stride,),
         rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
+        dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=x.dtype,
-    )[0]
+    )
+    out = out[0].T
     if b is not None:
         out = out + b.astype(x.dtype)
     return out

@@ -70,8 +70,7 @@ def lstm(x, params, *, reverse: bool = False, mask=None):
         return (h_out, c_out), h_out
 
     init = (jnp.zeros(hidden, x.dtype), jnp.zeros(hidden, x.dtype))
-    # unroll amortizes per-iteration overhead (the body is a tiny matmul)
-    _, ys = jax.lax.scan(step, init, steps, reverse=reverse, unroll=8)
+    _, ys = jax.lax.scan(step, init, steps, reverse=reverse)
     return ys
 
 
