@@ -233,13 +233,22 @@ def map_kokoro_text_encoder(sd: dict) -> dict:
 # CLI (requires torch + the model packages; mapping logic above is offline)
 # ---------------------------------------------------------------------------
 
-def convert_kokoro(repo: str, out_path: str, voices=None):
+def convert_kokoro(repo: str, out_path: str, voices=None,
+                   phonemizer_gguf: str | None = None):
+    """Full Kokoro conversion: model weights + voice packs + config KVs.
+
+    Requires the `kokoro` package and network/local access to the checkpoint
+    repo (same prerequisites as py-gguf).  `phonemizer_gguf` supplies the
+    TTS-rules tables (phonemizer.*); without it, phonemizer.type is set to
+    espeak."""
     import torch
+    from huggingface_hub import hf_hub_download
     from kokoro import KPipeline
 
-    from tts_tpu.core.gguf import GGUFWriter
+    from tts_tpu.core.gguf import GGUFFile, GGUFWriter
 
-    model = KPipeline(lang_code="a", repo_id=repo).model
+    pipeline = KPipeline(lang_code="a", repo_id=repo)
+    model = pipeline.model
     tensors = {}
     to_np = lambda sd: {k: v.detach().float().numpy() for k, v in sd.items()}
     tensors.update(map_kokoro_albert(to_np(model.bert.state_dict())))
@@ -248,8 +257,39 @@ def convert_kokoro(repo: str, out_path: str, voices=None):
     tensors.update(map_kokoro_decoder(to_np(model.decoder.state_dict())))
     tensors["kokoro.duration_predictor.encode"] = model.bert_encoder.weight.detach().numpy()
     tensors["kokoro.duration_predictor.encode_bias"] = model.bert_encoder.bias.detach().numpy()
-    raise SystemExit("full kokoro conversion requires voice packs + phonemizer "
-                     "tables; see tts_tpu/convert/README.md for the recipe")
+
+    voices = voices or ["af_heart"]
+    for v in voices:
+        f = hf_hub_download(repo_id=repo, filename=f"voices/{v}.pt")
+        tensors[f"kokoro.voice_tensors.{v}"] = (
+            torch.load(f, weights_only=True).squeeze(1).numpy())
+
+    w = GGUFWriter(out_path)
+    w.add_kv("general.architecture", "kokoro")
+    # geometry KVs mirror builder_kokoro (config.json values are static for
+    # Kokoro-82M; py-gguf reads the same fields)
+    from tts_tpu.convert.builder_kokoro import KokoroDims, build_kokoro_tensors
+    _, kv = build_kokoro_tensors(KokoroDims.kokoro_82m(),
+                                 np.random.default_rng(0), voices=voices)
+    kv["kokoro.voices"] = list(voices)
+    vocab = {v: k for k, v in model.vocab.items()}
+    token_list = [""] + [vocab.get(i + 1, "") for i in range(max(vocab) if vocab else 0)]
+    kv["tokenizer.ggml.tokens"] = token_list
+    if phonemizer_gguf:
+        with GGUFFile(phonemizer_gguf) as pf:
+            for key in ("phonemizer.graphemes", "phonemizer.rules.keys",
+                        "phonemizer.rules.phonemes", "phonemizer.dictionary.keys",
+                        "phonemizer.dictionary.values"):
+                kv[key] = list(pf.kv[key])
+        kv["phonemizer.type"] = 0
+    else:
+        kv["phonemizer.type"] = 1  # espeak
+    for k, v in kv.items():
+        w.add_kv(k, v)
+    for name, arr in tensors.items():
+        w.add_tensor(name, np.asarray(arr, np.float32))
+    w.write()
+    print(f"wrote {out_path} ({len(tensors)} tensors, voices: {', '.join(voices)})")
 
 
 def main(argv=None):
