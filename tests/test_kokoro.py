@@ -73,3 +73,23 @@ def test_generate_stream_chunks(tiny_runner):
     assert len(chunks) == 2
     for c in chunks:
         assert len(c) > 0 and np.isfinite(c).all()
+
+
+def test_tokenize_chunks_long_clause(tiny_runner):
+    cfg = tiny_runner.model.cfg
+    # one clause far beyond the context window, with spaces for clean splits
+    word = "abc "
+    clause = word * 400   # 1600 tokens
+    chunks = tiny_runner.tokenize_chunks([clause])
+    assert len(chunks) > 1
+    for c in chunks:
+        assert len(c) <= cfg.max_context_length
+        assert c[0] == cfg.bos_token_id and c[-1] == cfg.eos_token_id
+    # no tokens lost (ignoring bos/eos and boundary spaces)
+    total = sum(len(c) - 2 for c in chunks)
+    assert total >= 1550
+
+
+def test_tokenize_chunks_skips_empty(tiny_runner):
+    assert tiny_runner.tokenize_chunks(["", "   ", "ab"]) != []
+    assert len(tiny_runner.tokenize_chunks(["", "   "])) == 0
