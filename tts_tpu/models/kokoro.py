@@ -595,7 +595,10 @@ def generation_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
 # ---------------------------------------------------------------------------
 
 TOKEN_BUCKETS = (64, 128, 256, 512)
-FRAME_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 25600)
+# ~1.25x geometric steps: pad waste stays <25% while keeping the compile
+# variant count bounded (persistent cache amortizes across runs)
+FRAME_BUCKETS = (256, 384, 512, 640, 768, 1024, 1280, 1536, 2048, 2560, 3072,
+                 4096, 5120, 6144, 8192, 10240, 12800, 16384, 20480, 25600)
 
 
 def pick_bucket(n: int, buckets) -> int:
