@@ -19,4 +19,27 @@ Layer map (mirrors SURVEY.md §1, redesigned for TPU):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compile cache for every app/runner (first compile of a
+    shape bucket costs minutes on TPU; warm runs replay in ms).  Opt out with
+    TTS_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("TTS_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/tts_tpu_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
+
 from tts_tpu.runtime.api import GenerationConfig, TTSResponse  # noqa: F401
