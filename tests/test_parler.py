@@ -64,3 +64,23 @@ def test_conditional_prompt_requires_encoder(runner):
     from tts_tpu.runtime.api import TTSError
     with pytest.raises((TTSError, FileNotFoundError, Exception)):
         runner.update_conditional_prompt("/nonexistent/t5.gguf", "calm voice")
+
+
+def test_single_step_api(runner):
+    """parler_decode_step (the one-token API kept for streaming decoders)."""
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.models.parler import init_kv_cache, parler_decode_step, parler_prefill
+    from tts_tpu.ops.sampling import init_state
+
+    cfg = runner.cfg
+    cache = init_kv_cache(cfg)
+    tokens = np.zeros(16, np.int32)
+    cache = parler_prefill(runner.params, cfg, jnp.asarray(tokens),
+                           jnp.asarray(5, jnp.int32), cache, runner.cross_kv)
+    sampled, cache, state = parler_decode_step(
+        runner.params, cfg, jnp.full(cfg.n_output_heads, cfg.bos_token_id, jnp.int32),
+        jnp.asarray(5, jnp.int32), cache, runner.cross_kv,
+        jax.random.PRNGKey(0), init_state(cfg.n_output_heads))
+    assert sampled.shape == (cfg.n_output_heads,)
+    assert np.asarray(sampled).max() < cfg.output_vocab_size

@@ -20,7 +20,8 @@ def trim_silence(audio: np.ndarray, sample_rate: float,
     if n_frames == 0:
         return audio
     frames = audio[: n_frames * samples_per_frame].reshape(n_frames, samples_per_frame)
-    energies = np.sum(np.square(frames, dtype=np.float32), axis=1)
+    # float64 accumulation: extreme sample values must not overflow the sums
+    energies = np.sum(np.square(frames.astype(np.float64)), axis=1)
 
     # early cutoff: a run of completely silent frames terminates the audio
     early_frames = int(early_cutoff_seconds_threshold * 1000 / ms_per_frame)
