@@ -4,6 +4,7 @@ run anywhere (no TPU needed), per the driver's multichip dry-run contract."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # hermetic CPU tests (env may preset a TPU platform)
+os.environ["TTS_TPU_NO_COMPILE_CACHE"] = "1"  # CPU AOT cache isn't host-portable
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -129,3 +129,14 @@ def test_server_voices(server_port):
     with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/v1/audio/voices") as r:
         voices = json.loads(r.read())
     assert voices == {"dummy": ["dummy"]}
+
+
+def test_server_pcm_streaming(server_port):
+    status, body, ctype = _post(server_port, "/v1/audio/speech",
+                                {"input": "ab", "response_format": "pcm"})
+    assert status == 200
+    assert ctype == "audio/pcm"
+    # 2 chars -> 2s of 44.1k 16-bit pcm from the dummy runner
+    pcm = np.frombuffer(body, "<i2")
+    assert len(pcm) == 2 * 44100
+    assert np.abs(pcm).max() > 1000

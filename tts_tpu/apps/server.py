@@ -69,7 +69,20 @@ class ServerState:
             result = {"success": False, "message": "unknown error"}
             try:
                 runner = self._get_runner(cache, task["model"])
-                if task["kind"] == "tts":
+                if task["kind"] == "tts_stream":
+                    chunks = task["chunks"]
+                    try:
+                        if hasattr(runner, "generate_stream"):
+                            for piece in runner.generate_stream(task["prompt"],
+                                                                task["config"]):
+                                chunks.put(piece)
+                        else:
+                            resp = runner.generate(task["prompt"], task["config"])
+                            chunks.put(resp.audio)
+                        result = {"success": True}
+                    finally:
+                        chunks.put(None)          # end-of-stream sentinel
+                elif task["kind"] == "tts":
                     resp = runner.generate(task["prompt"], task["config"])
                     result = {"success": True, "audio": resp.audio,
                               "sample_rate": resp.sample_rate}
@@ -85,6 +98,8 @@ class ServerState:
                 result = {"success": False, "message": str(e), "user_error": True}
             except Exception as e:  # worker must survive any failure
                 result = {"success": False, "message": f"{type(e).__name__}: {e}"}
+            if "chunks" in task:
+                continue  # streaming tasks deliver through their chunk queue
             with self.results_cv:
                 self.results[task["id"]] = result
                 self.results_cv.notify_all()
@@ -163,10 +178,11 @@ def make_handler(state: ServerState):
                 self._send_json(*error_json("the 'input' field must be a non empty string"))
                 return
             fmt = data.get("response_format", "wav")
-            if fmt not in ("wav", "wave", "aiff"):
+            if fmt not in ("wav", "wave", "aiff", "pcm"):
                 self._send_json(*error_json(
-                    "Currently 'wav' and 'aiff' are the only supported formats "
-                    "for the 'response_format' field.", "not_supported_error"))
+                    "Currently 'wav', 'aiff' and 'pcm' (streaming) are the only "
+                    "supported formats for the 'response_format' field.",
+                    "not_supported_error"))
                 return
             model = data.get("model", state.default_model)
             if model not in state.model_paths:
@@ -180,6 +196,30 @@ def make_handler(state: ServerState):
                                                   state.default_config.repetition_penalty)),
                 voice=data.get("voice", state.default_config.voice),
             )
+            if fmt == "pcm":
+                # chunked-transfer stream of 16-bit little-endian PCM; first
+                # chunk arrives at time-to-first-audio
+                import numpy as _np
+
+                chunks: queue.Queue = queue.Queue()
+                state.tasks.put({"id": uuid.uuid4().hex, "kind": "tts_stream",
+                                 "model": model, "prompt": data["input"],
+                                 "config": cfg, "chunks": chunks})
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/pcm")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                while True:
+                    piece = chunks.get()
+                    if piece is None:
+                        break
+                    pcm = (_np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
+                    if pcm:
+                        self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                        self.wfile.write(pcm)
+                        self.wfile.write(b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+                return
             result = state.submit({"kind": "tts", "model": model,
                                    "prompt": data["input"], "config": cfg})
             if not result["success"]:
