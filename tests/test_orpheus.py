@@ -92,3 +92,15 @@ def test_quantized_weights_stay_int8(tmp_path, rng=None):
         got = np.asarray(linear(x, params["layers"][0]["q"]))
         dense = np.asarray(x) @ f.tensors[f"{L}.self_attn.q_proj"].to_numpy().T
         np.testing.assert_allclose(got, dense, atol=1e-3, rtol=1e-3)
+
+
+def test_generate_stream(runner):
+    chunks = list(runner.generate_stream("hi", GenerationConfig(seed=0, max_tokens=21),
+                                         chunk_tokens=7))
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks)
+    assert np.isfinite(total).all()
+    # stream total matches a non-streamed generate length-wise (same seed,
+    # same sampling path)
+    resp = runner.generate("hi", GenerationConfig(seed=0, max_tokens=21))
+    assert abs(len(total) - len(resp.audio)) <= 512 * 7

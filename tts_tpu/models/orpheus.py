@@ -308,6 +308,69 @@ class OrpheusRunner(TTSRunner):
     def list_voices(self):
         return list(ORPHEUS_VOICES)
 
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        chunk_tokens: int = 70):
+        """Yield audio chunks as tokens are generated: the device loop runs in
+        `chunk_tokens` slices (10 SNAC frames ~ 0.85 s of audio each) and the
+        codec re-decodes with context, yielding only the new samples."""
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        if config.voice and config.voice not in ORPHEUS_VOICES:
+            raise TTSError(f"Voice '{config.voice}' is not a valid voice for Orpheus.")
+        sentence = f"{config.voice}: {text}" if config.voice else text
+        ids = (list(PREPENDED_TOKENS) + self.tokenizer.tokenize(sentence)
+               + list(APPENDED_TOKENS))
+        if len(ids) > cfg.max_context_length:
+            raise TTSError("The prompt was too large for the default context window.")
+        T = len(ids)
+        Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
+        tokens = np.zeros(Tb, np.int32)
+        tokens[:T] = ids
+
+        if self._cache is None:
+            self._cache = init_kv_cache(cfg)
+        cache = jax.tree_util.tree_map(lambda x: x * 0, self._cache)
+        logits, cache = orpheus_prefill(self.params, cfg, jnp.asarray(tokens),
+                                        jnp.asarray(T, jnp.int32), cache)
+        key = jax.random.PRNGKey(config.seed if config.seed is not None else
+                                 np.random.randint(0, 2**31 - 1))
+        sampler_state = init_state(1)
+        key, sub = jax.random.split(key)
+        first, sampler_state = sample_tokens(
+            sub, logits[None], sampler_state, temperature=config.temperature,
+            top_k=config.top_k, top_p=config.top_p,
+            repetition_penalty=config.repetition_penalty, do_sample=config.sample)
+        outputs = [int(first[0])]
+        pos = T
+        max_steps = min(config.max_tokens or cfg.max_generation_size,
+                        cfg.max_generation_size)
+        emitted_samples = 0
+
+        while outputs[-1] != cfg.stopping_token_id and len(outputs) < max_steps:
+            budget = min(chunk_tokens, max_steps - len(outputs))
+            key, sub = jax.random.split(key)
+            toks, n, cache, sampler_state = orpheus_decode_loop(
+                self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
+                jnp.asarray(pos, jnp.int32), jnp.asarray(budget, jnp.int32),
+                cache, sub, sampler_state, max_steps=cfg.max_generation_size,
+                temperature=config.temperature, top_k=config.top_k,
+                top_p=config.top_p, repetition_penalty=config.repetition_penalty,
+                do_sample=config.sample)
+            n = int(n)
+            new = [int(t) for t in np.asarray(toks)[:n]]
+            # the carried token was already emitted; decode_loop re-decodes it
+            outputs.extend(new)
+            pos += n
+            clean = [t for t in outputs if t != cfg.stopping_token_id]
+            heads = redistribute_output_tokens(clean, cfg)
+            audio = self.snac.decode(heads, seed=config.seed or 0)
+            if len(audio) > emitted_samples:
+                yield audio[emitted_samples:]
+                emitted_samples = len(audio)
+            if n < budget:
+                break
+        self._cache = cache
+
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
         import time
 
