@@ -60,3 +60,40 @@ def test_param_sharding_is_applied():
     # tp axis = 2 -> each shard holds half the output features
     shard_shapes = {s.data.shape for s in q_w.addressable_shards}
     assert (q_w.shape[0], q_w.shape[1] // 2) in shard_shapes
+
+
+def test_orpheus_tensor_parallel_forward():
+    """Shard tiny-Orpheus over (dp, tp) and run a prefill under the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from tts_tpu.convert.builder_orpheus import build_orpheus_tensors
+    from tts_tpu.models.orpheus import (
+        OrpheusConfig, init_kv_cache, load_orpheus_params, orpheus_param_specs,
+        orpheus_prefill,
+    )
+
+    rng = np.random.default_rng(0)
+    tensors, kv = build_orpheus_tensors(rng, vocab=1024, hidden=64, heads=4,
+                                        kv_heads=2, head_dim=16)
+    cfg = OrpheusConfig.from_gguf_kv(kv)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, vocab_size=1024, max_context_length=64,
+                              max_generation_size=32)
+    params = load_orpheus_params({k: v for k, v in tensors.items()
+                                  if k.startswith("orpheus.")}, cfg)
+    mesh = make_mesh(8)
+    specs = orpheus_param_specs(params)
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s = treedef.flatten_up_to(specs)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jax.device_put(x, NamedSharding(mesh, s))
+                  for x, s in zip(flat_p, flat_s)])
+
+    cache = init_kv_cache(cfg)
+    tokens = jnp.asarray(rng.integers(0, 1024, 32).astype(np.int32))
+    logits, cache = orpheus_prefill(params, cfg, tokens,
+                                    jnp.asarray(32, jnp.int32), cache)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert logits.shape == (1024,)

@@ -73,13 +73,15 @@ class KokoroRunner(TTSRunner):
         return sorted(self.model.params["voices"])
 
     # -- streaming ----------------------------------------------------------
-    def generate_stream(self, text: str, config: GenerationConfig | None = None):
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        first_chunk_tokens: int = 10):
         """Yield audio chunks clause-by-clause for low time-to-first-audio.
 
         The reference decodes whole utterances (SURVEY.md §7 flags streaming
         as the TTFA lever); here each clause is synthesized as its own small
-        frame bucket so the first chunk is ready in ~duration+generation of a
-        single clause."""
+        frame bucket.  The first emission is additionally sub-chunked to
+        `first_chunk_tokens` (split at a space) so first audio lands in the
+        smallest generation bucket."""
         config = config or GenerationConfig()
         voice = config.voice or self.default_voice
         if voice not in self.model.params["voices"]:
@@ -90,7 +92,19 @@ class KokoroRunner(TTSRunner):
         normalized = re.sub(r"[,;:]", "--", text).replace("\n", " ")
         phonemes = self.phonemizer.text_to_phonemes(normalized)
         clauses = [c for c in re.split(r"[.!?]", phonemes) if c.strip()]
-        for tokens in self.tokenize_chunks(clauses):
+        chunks = self.tokenize_chunks(clauses)
+        if chunks and first_chunk_tokens and len(chunks[0]) > first_chunk_tokens + 4:
+            head = chunks[0]
+            body = head[1:-1]                       # strip bos/eos
+            split = first_chunk_tokens
+            for i in range(min(first_chunk_tokens, len(body) - 1), 0, -1):
+                if body[i] == cfg.space_token_id:
+                    split = i
+                    break
+            first = [cfg.bos_token_id] + body[:split] + [cfg.eos_token_id]
+            rest = [cfg.bos_token_id] + body[split:] + [cfg.eos_token_id]
+            chunks = [first, rest] + chunks[1:]
+        for tokens in chunks:
             audio = self.model.synthesize(tokens, voice, seed=seed)
             if len(audio):
                 yield audio
