@@ -173,3 +173,25 @@ def test_empty_and_whitespace():
     ph = make_phonemizer()
     assert ph.text_to_phonemes("") == ""
     assert ph.text_to_phonemes("   ").strip() == ""
+
+
+def test_fuzz_never_crashes():
+    """The lexer must terminate and return a string for arbitrary input."""
+    import random
+    rng = random.Random(0)
+    ph = make_phonemizer()
+    alphabet = ("abc XYZ 0123456789 .,!?;:'\"-()[]{} $%&*+<>= \t\n"
+                "éüñ 🎉 ʃʒθð ... -- '' ½¾ MCMXCIV I.B.M. o'clock 1,234.56")
+    for _ in range(200):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        out = ph.text_to_phonemes(s)
+        assert isinstance(out, str)
+
+
+def test_pathological_numbers():
+    ph = make_phonemizer()
+    for s in ["1" * 50, "1,2,3,4", "1.2.3.4", "12 34 56", "0.0.0", "999,999,999,999,999",
+              "1,000,000,000,000,001", "3.", ".3", "-5", "1-2", "100 200"]:
+        out = ph.text_to_phonemes(s)
+        assert isinstance(out, str), s

@@ -1,0 +1,75 @@
+"""Dia-1.6B decode speed at real dimensions (random weights, CFG batch 2).
+
+Real-time threshold: one decode step = one DAC frame = 512 samples of
+44.1 kHz audio = 11.6 ms, i.e. ~86 steps/s.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.models.dia import (
+    DiaConfig, dia_cross_kv, dia_decode_loop, dia_encode, init_dia_cache,
+)
+from tts_tpu.ops.sampling import init_state
+
+
+def main():
+    cfg = DiaConfig()  # real dims: enc 12L x 1024, dec 18L x 2048 GQA 16/4
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.02).astype(np.float32))
+    EH, DH, hs = cfg.encoder_hidden_size, cfg.decoder_hidden_size, cfg.head_size
+    enc = {"embedding": r(256, EH), "norm": jnp.ones(EH), "layers": []}
+    for _ in range(cfg.n_encoder_layers):
+        enc["layers"].append({
+            "q": r(EH, cfg.encoder_attn_heads * hs), "k": r(EH, cfg.encoder_attn_heads * hs),
+            "v": r(EH, cfg.encoder_attn_heads * hs), "o": r(cfg.encoder_attn_heads * hs, EH),
+            "sa_norm": jnp.ones(EH), "mlp_norm": jnp.ones(EH),
+            "gate": r(EH, 4096), "up": r(EH, 4096), "wo": r(4096, EH),
+        })
+    dec = {"norm": jnp.ones(DH),
+           "embds": [r(cfg.audio_vocab_size + 3, DH) for _ in range(9)],
+           "heads": [r(DH, cfg.output_vocab_size) for _ in range(9)], "layers": []}
+    for _ in range(cfg.n_decoder_layers):
+        dec["layers"].append({
+            "sa_q": r(DH, cfg.decoder_attn_heads * hs),
+            "sa_k": r(DH, cfg.kv_heads * hs), "sa_v": r(DH, cfg.kv_heads * hs),
+            "sa_o": r(cfg.decoder_attn_heads * hs, DH),
+            "ca_q": r(DH, cfg.decoder_attn_heads * hs),
+            "ca_k": r(EH, cfg.decoder_attn_heads * hs),
+            "ca_v": r(EH, cfg.decoder_attn_heads * hs),
+            "ca_o": r(cfg.decoder_attn_heads * hs, DH),
+            "sa_norm": jnp.ones(DH), "ca_norm": jnp.ones(DH), "mlp_norm": jnp.ones(DH),
+            "gate": r(DH, 8192), "up": r(DH, 8192), "wo": r(8192, DH),
+        })
+    params = {"encoder": enc, "decoder": dec}
+    jax.block_until_ready(params)
+    print("params built (dia dims)")
+
+    tokens = np.zeros((2, cfg.max_encoder_context_length), np.int32)
+    tokens[0, :200] = 65
+    t0 = time.time()
+    states = dia_encode(params, cfg, jnp.asarray(tokens), jnp.asarray(200, jnp.int32))
+    cross = dia_cross_kv(params, cfg, states, jnp.asarray(200, jnp.int32))
+    jax.block_until_ready(cross)
+    print(f"encode+cross compile+run: {time.time() - t0:.1f}s")
+
+    N = 200
+    for trial in range(2):
+        cache = init_dia_cache(cfg)
+        t0 = time.time()
+        out, n, cache, s = dia_decode_loop(
+            params, cfg, jnp.asarray(N, jnp.int32), cache, cross,
+            jax.random.PRNGKey(trial), init_state(9))
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        label = "compile+run" if trial == 0 else "warm"
+        print(f"decode {label}: {int(n)} steps in {dt:.2f}s -> "
+              f"{int(n)/dt:.1f} steps/s ({int(n)/dt/86.1:.2f}x real time)")
+
+
+if __name__ == "__main__":
+    main()

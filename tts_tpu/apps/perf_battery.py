@@ -79,12 +79,15 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     mean_gen = sum(gen_times) / len(gen_times)
+    median_gen = sorted(gen_times)[len(gen_times) // 2]
     mean_codec = sum(codec_times) / len(codec_times)
     rtf = (sum(gen_times) / 1e3) / max(audio_seconds, 1e-9)
     report = {
         "model": args.model_path,
         "sentences": len(sentences),
         "mean_generation_ms": round(mean_gen, 3),
+        # medians exclude first-compile outliers when shape buckets are cold
+        "median_generation_ms": round(median_gen, 3),
         "mean_codec_ms": round(mean_codec, 3),
         "total_audio_seconds": round(audio_seconds, 3),
         "real_time_factor": round(rtf, 6),
