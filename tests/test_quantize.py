@@ -50,3 +50,19 @@ def test_quantize_preserves_kv(kokoro_path, tmp_path):
         with GGUFFile(kokoro_path) as orig:
             assert f.kv["kokoro.voices"] == orig.kv["kokoro.voices"]
             assert f.kv["tokenizer.ggml.tokens"] == orig.kv["tokenizer.ggml.tokens"]
+
+
+def test_orpheus_quantize_roundtrip(tmp_path):
+    """Quantize an Orpheus GGUF and generate: linears load int8 end-to-end."""
+    from tts_tpu.convert.builder_orpheus import write_orpheus_gguf
+
+    src = tmp_path / "orpheus.gguf"
+    write_orpheus_gguf(src, hidden=64, head_dim=16)
+    dst = tmp_path / "orpheus_q8.gguf"
+    stats = quantize_gguf(str(src), str(dst), QuantizationParams(GGMLType.Q8_0))
+    assert stats["quantized"] > 0
+    runner = runner_from_file(str(dst))
+    # tiny linears are %32 in-dim -> quantized dict params
+    assert "wq" in runner.params["layers"][0]["q"]
+    resp = runner.generate("hi", GenerationConfig(seed=0, max_tokens=15, voice="zoe"))
+    assert np.isfinite(resp.audio).all()
