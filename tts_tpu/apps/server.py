@@ -42,10 +42,11 @@ def error_json(message: str, etype: str = "invalid_request_error", code: int = 4
 
 class ServerState:
     def __init__(self, model_paths: dict[str, str], default_config: GenerationConfig,
-                 n_parallelism: int = 1):
+                 n_parallelism: int = 1, request_timeout: float = 1800.0):
         self.model_paths = model_paths
         self.default_model = next(iter(model_paths))
         self.default_config = default_config
+        self.request_timeout = request_timeout
         self.tasks: queue.Queue = queue.Queue()
         self.results: dict[str, dict] = {}
         self.results_cv = threading.Condition()
@@ -104,7 +105,8 @@ class ServerState:
                 self.results[task["id"]] = result
                 self.results_cv.notify_all()
 
-    def submit(self, task: dict, timeout: float = 300.0) -> dict:
+    def submit(self, task: dict, timeout: float | None = None) -> dict:
+        timeout = timeout or self.request_timeout
         task["id"] = uuid.uuid4().hex
         self.tasks.put(task)
         with self.results_cv:
@@ -277,6 +279,12 @@ def main(argv=None):
     p.add_argument("--topk", "-tk", type=int, default=50)
     p.add_argument("--top-p", "-tp", type=float, default=1.0)
     p.add_argument("--repetition-penalty", "-r", type=float, default=1.0)
+    p.add_argument("--request-timeout", type=float, default=1800.0,
+                   help="seconds to wait for a generation (first request may "
+                        "pay model load + XLA compiles)")
+    p.add_argument("--warmup", action="store_true",
+                   help="load the default model and synthesize a short "
+                        "utterance before serving")
     args = p.parse_args(argv)
 
     default_config = GenerationConfig(
@@ -286,7 +294,14 @@ def main(argv=None):
         models = {args.model_path[5:]: args.model_path}
     else:
         models = discover_models(args.model_path)
-    state = ServerState(models, default_config, args.n_parallelism)
+    state = ServerState(models, default_config, args.n_parallelism,
+                        request_timeout=args.request_timeout)
+    if args.warmup:
+        print("warming up (model load + compile)...", file=sys.stderr)
+        result = state.submit({"kind": "tts", "model": state.default_model,
+                               "prompt": "warm up.", "config": default_config})
+        print(f"warmup {'ok' if result['success'] else 'FAILED: ' + result['message']}",
+              file=sys.stderr)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     print(f"tts-server listening on http://{args.host}:{args.port} "
           f"(models: {', '.join(models)})", file=sys.stderr)
