@@ -140,3 +140,24 @@ def test_server_pcm_streaming(server_port):
     pcm = np.frombuffer(body, "<i2")
     assert len(pcm) == 2 * 44100
     assert np.abs(pcm).max() > 1000
+
+
+def test_cli_list_voices(capsys):
+    from tts_tpu.apps.cli import main
+    rc = main(["--model-path", "test:dummy", "--prompt", "x", "--list-voices"])
+    assert rc == 0
+    assert "dummy" in capsys.readouterr().out
+
+
+def test_espeak_gracefully_unavailable():
+    """Without libespeak-ng, the espeak path raises a recoverable TTSError."""
+    from tts_tpu.text import espeak
+    from tts_tpu.runtime.api import TTSError
+    if espeak.available():
+        import pytest
+        pytest.skip("espeak installed here")
+    from tts_tpu.text.phonemizer import Phonemizer
+    ph = Phonemizer(None, None, mode="espeak")
+    import pytest
+    with pytest.raises(TTSError):
+        ph.text_to_phonemes("hello")
