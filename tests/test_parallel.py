@@ -97,3 +97,60 @@ def test_orpheus_tensor_parallel_forward():
                                     jnp.asarray(32, jnp.int32), cache)
     assert np.isfinite(np.asarray(logits)).all()
     assert logits.shape == (1024,)
+
+
+def test_orpheus_tp_e2e_matches_unsharded(tmp_path):
+    """Full sharded generation through the runner path: same greedy tokens
+    (hence bitwise-same audio) as the unsharded runner. VERDICT r1 item 5."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tts_tpu.convert.builder_orpheus import write_orpheus_gguf
+    from tts_tpu.models.registry import runner_from_file
+    from tts_tpu.runtime.api import GenerationConfig
+
+    path = str(tmp_path / "orpheus.gguf")
+    write_orpheus_gguf(path, seed=0)
+    cfg = GenerationConfig(sample=False, seed=0, max_tokens=24, voice="zoe")
+
+    r0 = runner_from_file(path, cfg)
+    a0 = r0.generate("hello world", cfg)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("tp",))
+    r1 = runner_from_file(path, cfg, mesh=mesh)
+    assert r1.mesh is mesh
+    # params actually sharded: a q projection has 'tp' in its sharding spec
+    qp = r1.params["layers"][0]["q"]
+    leaf = qp.get("w", qp.get("wq"))
+    assert "tp" in str(leaf.sharding.spec)
+    a1 = r1.generate("hello world", cfg)
+
+    assert len(a0.audio) == len(a1.audio) > 0
+    np.testing.assert_allclose(a0.audio, a1.audio, atol=1e-5)
+
+
+def test_mesh_rejected_for_non_tp_architecture():
+    from tts_tpu.models.registry import runner_from_file
+    from tts_tpu.runtime.api import TTSError
+
+    mesh = make_mesh(8)
+    with pytest.raises(TTSError):
+        runner_from_file("test:dummy", mesh=mesh)
+
+
+def test_dryrun_multichip_self_provisions():
+    """Driver contract: dryrun_multichip(8) must succeed in a fresh process
+    with NO XLA_FLAGS preset and only 1 visible device (MULTICHIP_r01 failed
+    exactly this way under the axon platform pin)."""
+    import subprocess
+    import sys
+
+    env = dict(**{k: v for k, v in __import__("os").environ.items()
+                  if k != "XLA_FLAGS"})
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout
+    assert "dryrun TP decode OK" in out.stdout

@@ -148,6 +148,28 @@ def orpheus_param_specs(params) -> dict:
     return specs
 
 
+def make_tp_context(params, cfg: OrpheusConfig, mesh):
+    """Tensor-parallel placement for inference (SURVEY §2.9(b)): device_put
+    params per `orpheus_param_specs` and build an empty KV cache sharded on
+    kv-heads over 'tp'.  The jitted prefill/decode graphs then run under GSPMD
+    with collectives (psum after o/down projections) riding ICI."""
+    from jax.sharding import NamedSharding
+
+    specs = orpheus_param_specs(params)
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s = treedef.flatten_up_to(specs)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jax.device_put(x, NamedSharding(mesh, s))
+                  for x, s in zip(flat_p, flat_s)])
+    cache = init_kv_cache(cfg)
+    tp = mesh.shape["tp"]
+    spec = (P(None, None, "tp", None) if cfg.n_kv_attn_heads % tp == 0 and tp > 1
+            else P())
+    cache = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), cache)
+    return params, cache
+
+
 def _rms(x, w, eps: float = 1e-5):
     x32 = x.astype(jnp.float32)
     n = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
@@ -298,12 +320,16 @@ class OrpheusRunner(TTSRunner):
     architecture = "orpheus"
 
     def __init__(self, cfg: OrpheusConfig, params: dict, tokenizer: BPETokenizer,
-                 snac: SNACDecoder, config: GenerationConfig):
+                 snac: SNACDecoder, config: GenerationConfig, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            params, self._cache = make_tp_context(params, cfg, mesh)
+        else:
+            self._cache = None
         self.params = params
         self.tokenizer = tokenizer
         self.snac = snac
-        self._cache = None
 
     def list_voices(self):
         return list(ORPHEUS_VOICES)
@@ -437,11 +463,15 @@ class OrpheusRunner(TTSRunner):
 
 
 @register_loader("orpheus")
-def load_orpheus_runner(gguf_file, config: GenerationConfig) -> OrpheusRunner:
+def load_orpheus_runner(gguf_file, config: GenerationConfig,
+                        mesh=None) -> OrpheusRunner:
+    """mesh: optional tp Mesh — shards the backbone tensor-parallel via
+    `make_tp_context` (kv cache on heads, q/k/v/gate/up/head on output dim,
+    o/down on input dim)."""
     cfg = OrpheusConfig.from_gguf_kv(gguf_file.kv)
     params = load_orpheus_params(dict(gguf_file.tensors), cfg)
     snac_tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()
                     if n.startswith("snac.")}
     tokenizer = BPETokenizer.from_gguf_kv(gguf_file.kv)
     snac = SNACDecoder.from_tensors(snac_tensors, gguf_file.kv)
-    return OrpheusRunner(cfg, params, tokenizer, snac, config)
+    return OrpheusRunner(cfg, params, tokenizer, snac, config, mesh=mesh)

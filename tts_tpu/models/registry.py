@@ -27,8 +27,12 @@ def list_architectures() -> list[str]:
     return sorted(_LOADERS)
 
 
-def runner_from_file(path: str, config: GenerationConfig | None = None) -> TTSRunner:
-    """Load a GGUF model file and return the appropriate runner."""
+def runner_from_file(path: str, config: GenerationConfig | None = None,
+                     mesh=None) -> TTSRunner:
+    """Load a GGUF model file and return the appropriate runner.
+
+    mesh: optional jax Mesh for architectures with a tensor-parallel config
+    (currently Orpheus); raises TTSError for loaders without mesh support."""
     import tts_tpu.models.dummy  # noqa: F401  (registers test loaders)
     import tts_tpu.models.kokoro_runner  # noqa: F401
     import tts_tpu.models.parler  # noqa: F401
@@ -40,6 +44,8 @@ def runner_from_file(path: str, config: GenerationConfig | None = None) -> TTSRu
         name = path[len("test:"):]
         if name not in _TEST_LOADERS:
             raise TTSError(f"unknown test runner '{name}'")
+        if mesh is not None:
+            raise TTSError("test runners have no tensor-parallel config (mesh=)")
         return _TEST_LOADERS[name](config)
 
     f = GGUFFile(path)
@@ -48,4 +54,10 @@ def runner_from_file(path: str, config: GenerationConfig | None = None) -> TTSRu
         raise TTSError(
             f"architecture '{arch}' is not supported "
             f"(supported: {', '.join(list_architectures())})")
+    if mesh is not None:
+        import inspect
+        if "mesh" not in inspect.signature(_LOADERS[arch]).parameters:
+            raise TTSError(
+                f"architecture '{arch}' has no tensor-parallel config (mesh=)")
+        return _LOADERS[arch](f, config, mesh=mesh)
     return _LOADERS[arch](f, config)
