@@ -81,9 +81,14 @@ void ggufc_dequant_q4_0(const uint8_t *raw, float *out, int64_t n_elements,
             float d = f16_to_f32(d16);
             const uint8_t *qs = blk + 2;
             float *dst = out + b * QK;
+            // the caller allocates exactly n_elements floats: bound the last
+            // (possibly partial) block's writes
+            int64_t remain = std::min<int64_t>(QK, n_elements - b * QK);
             for (int j = 0; j < 16; ++j) {
-                dst[j] = (float)((int)(qs[j] & 0x0F) - 8) * d;
-                dst[j + 16] = (float)((int)(qs[j] >> 4) - 8) * d;
+                if (j < remain)
+                    dst[j] = (float)((int)(qs[j] & 0x0F) - 8) * d;
+                if (j + 16 < remain)
+                    dst[j + 16] = (float)((int)(qs[j] >> 4) - 8) * d;
             }
         }
     });
@@ -102,11 +107,12 @@ void ggufc_dequant_q5_0(const uint8_t *raw, float *out, int64_t n_elements,
             std::memcpy(&qh, blk + 2, 4);
             const uint8_t *qs = blk + 6;
             float *dst = out + b * QK;
+            int64_t remain = std::min<int64_t>(QK, n_elements - b * QK);
             for (int j = 0; j < 16; ++j) {
                 int lo5 = (qs[j] & 0x0F) | (((qh >> j) & 1u) << 4);
                 int hi5 = (qs[j] >> 4) | (((qh >> (j + 16)) & 1u) << 4);
-                dst[j] = (float)(lo5 - 16) * d;
-                dst[j + 16] = (float)(hi5 - 16) * d;
+                if (j < remain) dst[j] = (float)(lo5 - 16) * d;
+                if (j + 16 < remain) dst[j + 16] = (float)(hi5 - 16) * d;
             }
         }
     });
@@ -123,7 +129,8 @@ void ggufc_dequant_q8_0(const uint8_t *raw, float *out, int64_t n_elements,
             float d = f16_to_f32(d16);
             const int8_t *qs = (const int8_t *)(blk + 2);
             float *dst = out + b * QK;
-            for (int j = 0; j < QK; ++j) {
+            int64_t remain = std::min<int64_t>(QK, n_elements - b * QK);
+            for (int64_t j = 0; j < remain; ++j) {
                 dst[j] = (float)qs[j] * d;
             }
         }
@@ -167,16 +174,37 @@ void ggufc_quant_q8_0(const float *in, uint8_t *out, int64_t n_elements,
             float d = amax / 127.0f;
             float inv = d != 0.0f ? 1.0f / d : 0.0f;
             uint8_t *blk = out + b * Q8_BLOCK;
-            // f32 -> f16 via round-trip through float bits (round-to-nearest)
+            // f32 -> f16, round-to-nearest-even incl. subnormals (matches
+            // numpy's astype(float16) so both encoders produce identical
+            // checkpoints; d=absmax/127 can be subnormal for tiny blocks)
             uint32_t fbits;
             std::memcpy(&fbits, &d, 4);
             uint32_t sign = (fbits >> 16) & 0x8000;
             int32_t exp = (int32_t)((fbits >> 23) & 0xFF) - 127 + 15;
             uint32_t man = fbits & 0x7FFFFF;
             uint16_t h;
-            if (exp <= 0) h = (uint16_t)sign;
-            else if (exp >= 0x1F) h = (uint16_t)(sign | 0x7C00);
-            else h = (uint16_t)(sign | (exp << 10) | ((man + 0x1000) >> 13));
+            if (exp >= 0x1F) {
+                h = (uint16_t)(sign | 0x7C00);
+            } else if (exp <= 0) {
+                if (exp < -10) {
+                    h = (uint16_t)sign;  // underflows even as a subnormal
+                } else {
+                    // shift the 24-bit significand into subnormal position;
+                    // shifted-out bits fold into a sticky bit for exact RNE
+                    uint32_t shift = (uint32_t)(1 - exp);
+                    uint32_t full = man | 0x800000;
+                    uint32_t m = full >> shift;
+                    uint32_t sticky = (full & ((1u << shift) - 1)) != 0;
+                    uint32_t frac = m & 0x1FFF;
+                    uint32_t up = (frac > 0x1000) ||
+                                  (frac == 0x1000 && (sticky || ((m >> 13) & 1)));
+                    h = (uint16_t)(sign | ((m >> 13) + up));
+                }
+            } else {
+                uint32_t v = ((uint32_t)exp << 23) | man;
+                // mantissa carry propagates into the exponent (and to inf)
+                h = (uint16_t)(sign | ((v + 0xFFF + ((v >> 13) & 1)) >> 13));
+            }
             std::memcpy(blk, &h, 2);
             int8_t *qs = (int8_t *)(blk + 2);
             for (int64_t j = 0; j < QK; ++j) {

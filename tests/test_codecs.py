@@ -50,6 +50,23 @@ def test_dac_empty(dac):
     assert dac.decode(np.zeros((0, 9), np.int32)).shape == (0,)
 
 
+def test_dac_covers_dia_max_generation(dac):
+    """Dia can emit up to 3072 frames (delay drain at max_generation_size);
+    the bucket table must cover it instead of crashing (ADVICE r1 medium)."""
+    from tts_tpu.codecs.dac import FRAME_BUCKETS, pick_bucket
+    assert FRAME_BUCKETS[-1] >= 3072
+    rng = np.random.default_rng(4)
+    t = 3060
+    codes = rng.integers(0, 1024, (t, 9)).astype(np.int32)
+    audio = dac.decode(codes)
+    assert audio.shape == (t * 512,)
+    assert np.isfinite(audio).all()
+    # defensive clamp: beyond the largest bucket truncates, never raises
+    big = rng.integers(0, 1024, (pick_bucket(10**6) + 5, 9)).astype(np.int32)
+    audio = dac.decode(big)
+    assert audio.shape == (pick_bucket(10**6) * 512,)
+
+
 def test_snac_decode_shapes(snac):
     rng = np.random.default_rng(3)
     t = 48

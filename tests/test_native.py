@@ -38,6 +38,33 @@ def test_f16_parity(rng):
     np.testing.assert_array_equal(got, x.astype(np.float32))
 
 
+@pytest.mark.parametrize("n", [31, 33, 95, 4001])
+def test_partial_block_dequant(rng, n):
+    """n_elements not a multiple of 32 must not write past the output buffer
+    (ADVICE r1: last-block writes were unbounded)."""
+    pad = 32 * ((n + 31) // 32)
+    x = rng.standard_normal(pad).astype(np.float32)
+    for q, dq, ndq in [
+        (quant.quantize_q8_0, quant.dequantize_q8_0, native.dequant_q8_0),
+        (quant.quantize_q4_0, quant.dequantize_q4_0, native.dequant_q4_0),
+        (quant.quantize_q5_0, quant.dequantize_q5_0, native.dequant_q5_0),
+    ]:
+        raw = np.frombuffer(q(x), np.uint8)
+        np.testing.assert_array_equal(ndq(raw, n), dq(raw, n)[:n])
+
+
+def test_quant_q8_subnormal_scale_matches_numpy(rng):
+    """Blocks with absmax below the f16 normal range must encode a subnormal
+    scale identical to numpy's astype(float16), not zero (ADVICE r1)."""
+    x = (rng.standard_normal(256) * 5e-4).astype(np.float32)
+    x[::32] = 4e-3  # absmax ~4e-3 -> d ~3.1e-5, an f16 subnormal
+    got = np.frombuffer(native.quant_q8_0(x), np.uint8)
+    ref = np.frombuffer(quant.quantize_q8_0(x), np.uint8)
+    np.testing.assert_array_equal(got, ref)
+    y = quant.dequantize_q8_0(got, x.size)
+    assert np.abs(y).max() > 0
+
+
 def test_native_quant_q8_roundtrip(rng):
     x = rng.standard_normal(2048).astype(np.float32)
     raw = native.quant_q8_0(x)

@@ -25,6 +25,7 @@ import os
 import queue
 import sys
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -41,6 +42,15 @@ def error_json(message: str, etype: str = "invalid_request_error", code: int = 4
 
 
 class ServerState:
+    """Task queue + worker pool.
+
+    All workers share ONE runner per model (weights live once in device HBM —
+    on a single chip, replicas would only multiply memory, not throughput);
+    a per-runner lock serializes generation on a runner (its KV cache and
+    jit-donation story are single-flight), while different models can run
+    concurrently and host-side JSON/WAV work overlaps device compute.
+    """
+
     def __init__(self, model_paths: dict[str, str], default_config: GenerationConfig,
                  n_parallelism: int = 1, request_timeout: float = 1800.0):
         self.model_paths = model_paths
@@ -49,51 +59,71 @@ class ServerState:
         self.request_timeout = request_timeout
         self.tasks: queue.Queue = queue.Queue()
         self.results: dict[str, dict] = {}
+        self.abandoned: set[str] = set()      # ids whose submitter timed out
         self.results_cv = threading.Condition()
+        self._runners: dict[str, object] = {}
+        self._runner_locks: dict[str, threading.Lock] = {}
+        self._cache_lock = threading.Lock()
         self.workers = []
         for _ in range(max(n_parallelism, 1)):
             w = threading.Thread(target=self._worker_loop, daemon=True)
             w.start()
             self.workers.append(w)
 
-    def _get_runner(self, cache: dict, model: str):
-        if model not in cache:
-            cache[model] = runner_from_file(self.model_paths[model], self.default_config)
-        return cache[model]
+    def _get_runner(self, model: str):
+        """Shared runner + its lock; loads at most once across workers."""
+        with self._cache_lock:
+            lock = self._runner_locks.setdefault(model, threading.Lock())
+        with lock:
+            if model not in self._runners:
+                self._runners[model] = runner_from_file(
+                    self.model_paths[model], self.default_config)
+        return self._runners[model], lock
 
     def _worker_loop(self):
-        cache: dict = {}
         while True:
             task = self.tasks.get()
             if task is None:
                 return
             result = {"success": False, "message": "unknown error"}
+            t0 = time.perf_counter()
             try:
-                runner = self._get_runner(cache, task["model"])
+                runner, lock = self._get_runner(task["model"])
                 if task["kind"] == "tts_stream":
                     chunks = task["chunks"]
                     try:
-                        if hasattr(runner, "generate_stream"):
-                            for piece in runner.generate_stream(task["prompt"],
-                                                                task["config"]):
-                                chunks.put(piece)
-                        else:
-                            resp = runner.generate(task["prompt"], task["config"])
-                            chunks.put(resp.audio)
+                        with lock:
+                            if hasattr(runner, "generate_stream"):
+                                for piece in runner.generate_stream(
+                                        task["prompt"], task["config"]):
+                                    chunks.put(piece)
+                            else:
+                                resp = runner.generate(task["prompt"], task["config"])
+                                chunks.put(resp.audio)
                         result = {"success": True}
                     finally:
                         chunks.put(None)          # end-of-stream sentinel
                 elif task["kind"] == "tts":
-                    resp = runner.generate(task["prompt"], task["config"])
+                    with lock:
+                        resp = runner.generate(task["prompt"], task["config"])
+                    wall_ms = (time.perf_counter() - t0) * 1e3
                     result = {"success": True, "audio": resp.audio,
-                              "sample_rate": resp.sample_rate}
+                              "sample_rate": resp.sample_rate,
+                              "wall_ms": wall_ms,
+                              "rtf": (wall_ms / 1e3 / resp.duration_s
+                                      if resp.duration_s else None),
+                              "timings": resp.timings}
                 elif task["kind"] == "voices":
-                    voices = {m: self._get_runner(cache, m).list_voices()
-                              for m in self.model_paths}
+                    voices = {}
+                    for m in self.model_paths:
+                        r, l = self._get_runner(m)
+                        with l:
+                            voices[m] = r.list_voices()
                     result = {"success": True, "voices": voices}
                 elif task["kind"] == "conditional":
-                    runner.update_conditional_prompt(task["text_encoder_path"],
-                                                     task["prompt"])
+                    with lock:
+                        runner.update_conditional_prompt(
+                            task["text_encoder_path"], task["prompt"])
                     result = {"success": True}
             except TTSError as e:
                 result = {"success": False, "message": str(e), "user_error": True}
@@ -102,8 +132,11 @@ class ServerState:
             if "chunks" in task:
                 continue  # streaming tasks deliver through their chunk queue
             with self.results_cv:
-                self.results[task["id"]] = result
-                self.results_cv.notify_all()
+                if task["id"] in self.abandoned:
+                    self.abandoned.discard(task["id"])  # nobody is waiting
+                else:
+                    self.results[task["id"]] = result
+                    self.results_cv.notify_all()
 
     def submit(self, task: dict, timeout: float | None = None) -> dict:
         timeout = timeout or self.request_timeout
@@ -113,6 +146,9 @@ class ServerState:
             ok = self.results_cv.wait_for(lambda: task["id"] in self.results,
                                           timeout=timeout)
             if not ok:
+                # mark abandoned so the worker drops the late result instead
+                # of leaking it into `results` forever
+                self.abandoned.add(task["id"])
                 return {"success": False, "message": "request timed out"}
             return self.results.pop(task["id"])
 
@@ -204,6 +240,7 @@ def make_handler(state: ServerState):
                 import numpy as _np
 
                 chunks: queue.Queue = queue.Queue()
+                t_req = time.perf_counter()
                 state.tasks.put({"id": uuid.uuid4().hex, "kind": "tts_stream",
                                  "model": model, "prompt": data["input"],
                                  "config": cfg, "chunks": chunks})
@@ -211,16 +248,25 @@ def make_handler(state: ServerState):
                 self.send_header("Content-Type", "audio/pcm")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
+                ttfa_ms = None
+                n_samples = 0
                 while True:
                     piece = chunks.get()
                     if piece is None:
                         break
+                    if ttfa_ms is None:
+                        ttfa_ms = (time.perf_counter() - t_req) * 1e3
+                    n_samples += len(piece)
                     pcm = (_np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
                     if pcm:
                         self.wfile.write(f"{len(pcm):X}\r\n".encode())
                         self.wfile.write(pcm)
                         self.wfile.write(b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
+                wall = time.perf_counter() - t_req
+                print(f"[srv] stream done: ttfa={ttfa_ms and round(ttfa_ms, 1)} ms "
+                      f"samples={n_samples} wall={wall * 1e3:.1f} ms",
+                      file=sys.stderr)
                 return
             result = state.submit({"kind": "tts", "model": model,
                                    "prompt": data["input"], "config": cfg})
@@ -230,10 +276,24 @@ def make_handler(state: ServerState):
                 return
             if fmt == "aiff":
                 body = encode_aiff(result["audio"], result["sample_rate"])
-                self._send(200, body, "audio/aiff")
+                ctype = "audio/aiff"
             else:
                 body = encode_wav(result["audio"], result["sample_rate"])
-                self._send(200, body, "audio/wav")
+                ctype = "audio/wav"
+            # per-request tracing (SURVEY §5): RTF + wall in headers and log
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            if result.get("wall_ms") is not None:
+                self.send_header("X-Generation-Time-Ms", f"{result['wall_ms']:.1f}")
+            if result.get("rtf") is not None:
+                self.send_header("X-RTF", f"{result['rtf']:.4f}")
+            self.end_headers()
+            self.wfile.write(body)
+            rtf = result.get("rtf")
+            print(f"[srv] tts done: model={model} wall={result.get('wall_ms', 0):.1f} ms "
+                  f"rtf={rtf if rtf is None else round(rtf, 4)} "
+                  f"timings={result.get('timings')}", file=sys.stderr)
 
         def handle_conditional(self):
             data = self._read_json() or {}

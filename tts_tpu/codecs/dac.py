@@ -19,7 +19,7 @@ from tts_tpu.codecs.blocks import codec_layer, quantizer_decode, residual_unit
 from tts_tpu.ops.basic import snake
 from tts_tpu.ops.conv import conv1d
 
-FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 2580)
+FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048, 2580, 3072)
 
 
 def pick_bucket(n, buckets=FRAME_BUCKETS):
@@ -138,6 +138,13 @@ class DACDecoder:
         if t == 0:
             return np.zeros(0, np.float32)
         tb = pick_bucket(t)
+        if t > tb:
+            # beyond the largest bucket (Dia's cap is 3072 frames, covered by
+            # FRAME_BUCKETS, but clamp defensively instead of crashing)
+            import logging
+            logging.getLogger(__name__).warning(
+                "dac: truncating %d frames to largest bucket %d", t, tb)
+            codes, t = codes[:tb], tb
         padded = np.zeros((tb, self.cfg.n_heads), np.int32)
         padded[:t] = codes
         audio = dac_decode(self.params, self.cfg, jnp.asarray(padded),

@@ -72,6 +72,20 @@ class KokoroRunner(TTSRunner):
     def list_voices(self) -> list[str]:
         return sorted(self.model.params["voices"])
 
+    def _select_voice(self, config: GenerationConfig) -> str:
+        """Resolve the voice and point the espeak phonemizer at the voice's
+        language (first letter of the pack name, kokoro/model.h:20-30) —
+        shared by generate() and generate_stream()."""
+        voice = config.voice or self.default_voice
+        if voice not in self.model.params["voices"]:
+            raise TTSError(f"unknown Kokoro voice '{voice}' "
+                           f"(available: {', '.join(self.list_voices())})")
+        if self.phonemizer.mode == "espeak":
+            self.phonemizer.espeak_voice = (
+                config.espeak_voice_id
+                or KOKORO_LANG_TO_ESPEAK_ID.get(voice[0], "gmw/en-US"))
+        return voice
+
     # -- streaming ----------------------------------------------------------
     def generate_stream(self, text: str, config: GenerationConfig | None = None,
                         first_chunk_tokens: int = 10):
@@ -83,9 +97,7 @@ class KokoroRunner(TTSRunner):
         `first_chunk_tokens` (split at a space) so first audio lands in the
         smallest generation bucket."""
         config = config or GenerationConfig()
-        voice = config.voice or self.default_voice
-        if voice not in self.model.params["voices"]:
-            raise TTSError(f"unknown Kokoro voice '{voice}'")
+        voice = self._select_voice(config)
         cfg = self.model.cfg
         seed = config.seed if config.seed is not None else 0
 
@@ -112,13 +124,7 @@ class KokoroRunner(TTSRunner):
     # -- generation ----------------------------------------------------------
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
         config = config or GenerationConfig()
-        voice = config.voice or self.default_voice
-        if voice not in self.model.params["voices"]:
-            raise TTSError(f"unknown Kokoro voice '{voice}' "
-                           f"(available: {', '.join(self.list_voices())})")
-        if self.phonemizer.mode == "espeak":
-            self.phonemizer.espeak_voice = (config.espeak_voice_id
-                                            or KOKORO_LANG_TO_ESPEAK_ID.get(voice[0], "gmw/en-US"))
+        voice = self._select_voice(config)
 
         t0 = time.perf_counter()
         # ',;:' -> espeak-style pauses, newlines -> spaces (model.cpp:1415-1417;
