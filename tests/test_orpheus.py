@@ -50,18 +50,21 @@ def test_prompt_too_long(runner):
         runner.generate("a " * 2000, GenerationConfig())
 
 
-def test_quantized_weights_stay_int8(tmp_path, rng=None):
-    """Q8_0 GGUF linears load as int8+scales and feed the quantized matmul."""
+@pytest.mark.parametrize("qtype", ["Q8_0", "Q4_0", "Q5_0"])
+def test_quantized_weights_stay_int8(tmp_path, qtype):
+    """Q8_0/Q4_0/Q5_0 GGUF linears load as int8+scales and feed the quantized
+    matmul (BASELINE north star: Q4/Q5/Q8 onto int8 TPU matmuls)."""
     import numpy as np
     from tts_tpu.core.gguf import GGMLType, GGUFFile, GGUFWriter
     from tts_tpu.models.orpheus import OrpheusConfig, load_orpheus_params
 
+    gt = getattr(GGMLType, qtype)
     rng = np.random.default_rng(0)
     w = GGUFWriter(tmp_path / "q.gguf")
     w.add_kv("general.architecture", "orpheus")
     hidden, heads, kvh, hd, ffn = 256, 4, 2, 64, 256
     w.add_tensor("orpheus.embed_tokens", rng.standard_normal((300, hidden)).astype(np.float32))
-    w.add_tensor("orpheus.lm_head", rng.standard_normal((300, hidden)).astype(np.float32), GGMLType.Q8_0)
+    w.add_tensor("orpheus.lm_head", rng.standard_normal((300, hidden)).astype(np.float32), gt)
     w.add_tensor("orpheus.norm", np.ones(hidden, np.float32))
     w.add_tensor("orpheus.rope_frequencies", np.ones(hd // 2, np.float32))
     L = "orpheus.layers.0"
@@ -74,8 +77,7 @@ def test_quantized_weights_stay_int8(tmp_path, rng=None):
                      ("mlp.gate_proj", (ffn, hidden)),
                      ("mlp.up_proj", (ffn, hidden)),
                      ("mlp.down_proj", (hidden, ffn))]:
-        w.add_tensor(f"{L}.{n}", rng.standard_normal(shape).astype(np.float32),
-                     GGMLType.Q8_0)
+        w.add_tensor(f"{L}.{n}", rng.standard_normal(shape).astype(np.float32), gt)
     w.write()
 
     cfg = OrpheusConfig(n_layers=1, hidden_size=hidden, n_attn_heads=heads,
@@ -85,13 +87,14 @@ def test_quantized_weights_stay_int8(tmp_path, rng=None):
         assert "wq" in params["layers"][0]["q"]
         assert params["layers"][0]["q"]["wq"].dtype.name == "int8"
         assert "wq" in params["head"]
-        # quantized forward runs and matches the dense path within quant error
+        # quantized forward runs and matches the dequantized-dense path: the
+        # int8 view must introduce NO extra error beyond the quantization
         import jax.numpy as jnp
         from tts_tpu.ops.qmatmul import linear
         x = jnp.asarray(rng.standard_normal((2, hidden)).astype(np.float32))
         got = np.asarray(linear(x, params["layers"][0]["q"]))
-        dense = np.asarray(x) @ f.tensors[f"{L}.self_attn.q_proj"].to_numpy().T
-        np.testing.assert_allclose(got, dense, atol=1e-3, rtol=1e-3)
+        deq = np.asarray(x) @ f.tensors[f"{L}.self_attn.q_proj"].to_numpy().T
+        np.testing.assert_allclose(got, deq, atol=1e-4, rtol=1e-4)
 
 
 def test_generate_stream(runner):

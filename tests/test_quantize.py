@@ -52,17 +52,26 @@ def test_quantize_preserves_kv(kokoro_path, tmp_path):
             assert f.kv["tokenizer.ggml.tokens"] == orig.kv["tokenizer.ggml.tokens"]
 
 
-def test_orpheus_quantize_roundtrip(tmp_path):
-    """Quantize an Orpheus GGUF and generate: linears load int8 end-to-end."""
+@pytest.mark.parametrize("qtype", [GGMLType.Q8_0, GGMLType.Q5_0, GGMLType.Q4_0])
+def test_orpheus_quantize_roundtrip(tmp_path, qtype):
+    """Quantize an Orpheus GGUF and generate: linears stay int8 on device for
+    Q8/Q5/Q4 and greedy audio correlates with the f32 model."""
     from tts_tpu.convert.builder_orpheus import write_orpheus_gguf
 
     src = tmp_path / "orpheus.gguf"
     write_orpheus_gguf(src, hidden=64, head_dim=16)
-    dst = tmp_path / "orpheus_q8.gguf"
-    stats = quantize_gguf(str(src), str(dst), QuantizationParams(GGMLType.Q8_0))
+    dst = tmp_path / f"orpheus_{qtype.name}.gguf"
+    stats = quantize_gguf(str(src), str(dst), QuantizationParams(qtype))
     assert stats["quantized"] > 0
+    cfg = GenerationConfig(seed=0, max_tokens=15, voice="zoe", sample=False)
+    ref = runner_from_file(str(src)).generate("hi", cfg)
     runner = runner_from_file(str(dst))
-    # tiny linears are %32 in-dim -> quantized dict params
+    # tiny linears are %32 in-dim -> quantized dict params (incl. Q5 -> int8)
     assert "wq" in runner.params["layers"][0]["q"]
-    resp = runner.generate("hi", GenerationConfig(seed=0, max_tokens=15, voice="zoe"))
+    assert runner.params["layers"][0]["q"]["wq"].dtype.name == "int8"
+    resp = runner.generate("hi", cfg)
     assert np.isfinite(resp.audio).all()
+    n = min(len(resp.audio), len(ref.audio))
+    assert n > 0
+    corr = np.corrcoef(resp.audio[:n], ref.audio[:n])[0, 1]
+    assert corr > 0.95, f"{qtype.name} audio decorrelated from f32 (corr={corr:.3f})"

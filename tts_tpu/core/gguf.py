@@ -176,6 +176,8 @@ class GGUFTensor:
             v, s = quant.q8_0_to_int8_scales(self.raw(), self.n_elements)
         elif t == GGMLType.Q4_0:
             v, s = quant.q4_0_to_int8_scales(self.raw(), self.n_elements)
+        elif t == GGMLType.Q5_0:
+            v, s = quant.q5_0_to_int8_scales(self.raw(), self.n_elements)
         else:
             raise ValueError(f"no int8 view for {t}")
         return v.reshape(self.shape), s

@@ -132,3 +132,18 @@ def q4_0_to_int8_scales(raw: bytes | np.ndarray, n_elements: int):
     hi = (qs >> 4).astype(np.int8) - 8
     values = np.concatenate([lo, hi], axis=1).reshape(-1)[:n_elements]
     return values, scales
+
+
+def q5_0_to_int8_scales(raw: bytes | np.ndarray, n_elements: int):
+    """Q5_0 values span [-16, 15] — exactly int8-representable, so Q5 weights
+    stay 8-bit on device like Q4/Q8 (BASELINE north star)."""
+    blocks = np.frombuffer(raw, dtype=np.uint8).reshape(-1, Q5_0_BLOCK_BYTES)
+    scales = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+    qh = blocks[:, 2:6].copy().view(np.uint32)                        # [nb,1]
+    qs = blocks[:, 6:]                                                # [nb,16]
+    shifts = np.arange(32, dtype=np.uint32)
+    hbits = ((qh >> shifts) & 1).astype(np.uint8)                     # [nb,32]
+    lo = ((qs & 0x0F) | (hbits[:, :16] << 4)).astype(np.int16) - 16
+    hi = ((qs >> 4) | (hbits[:, 16:] << 4)).astype(np.int16) - 16
+    values = np.concatenate([lo, hi], axis=1).astype(np.int8).reshape(-1)[:n_elements]
+    return values, scales

@@ -102,7 +102,7 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
         """Linear weight: {"w": dense [in, out]} or {"wq","scales"} int8."""
         t = raw(name)
         if (isinstance(t, GGUFTensor)
-                and t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0)
+                and t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0)
                 and t.shape[1] % 32 == 0):
             return pack_q8_weight(t)
         return {"w": get(name).T}
