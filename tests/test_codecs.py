@@ -87,3 +87,49 @@ def test_snac_deterministic_given_seed(snac):
     a = snac.decode(heads, seed=5)
     b = snac.decode(heads, seed=5)
     np.testing.assert_array_equal(a, b)
+
+
+def test_snac_streaming_window_matches_full(snac):
+    """Incremental bounded-context decode (decode_window) reproduces the full
+    decode EXACTLY: position-keyed noise + receptive-field context on both
+    sides (emission lags the decode head by RECEPTIVE_FRAMES, like the
+    Orpheus runner).  VERDICT r1 item 6 (replaces the O(n^2) re-decode)."""
+    from tts_tpu.codecs.snac import SNACDecoder
+
+    rng = np.random.default_rng(6)
+    t = 96
+    heads = [rng.integers(0, 4096, t // 4).astype(np.int32),
+             rng.integers(0, 4096, t // 2).astype(np.int32),
+             rng.integers(0, 4096, t).astype(np.int32)]
+    full = snac.decode(heads, seed=3)
+
+    hold = SNACDecoder.RECEPTIVE_FRAMES
+    pieces = []
+    emitted = 0
+    for upto in (24, 40, 72, 96):                 # uneven chunk boundaries
+        partial = [heads[0][: (upto + 3) // 4], heads[1][: (upto + 1) // 2],
+                   heads[2][:upto]]
+        target = upto if upto == t else max(emitted, upto - hold)
+        pieces.append(snac.decode_window(partial, emitted, target, seed=3))
+        emitted = target
+    stream = np.concatenate(pieces)
+
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5, rtol=0)
+
+
+def test_snac_window_is_o_chunk(snac):
+    """decode_window emits exactly the requested range and decodes a window
+    bounded by chunk + 2*context, not the total history."""
+    from tts_tpu.codecs.snac import SNACDecoder
+
+    rng = np.random.default_rng(8)
+    t = 256
+    heads = [rng.integers(0, 4096, t // 4).astype(np.int32),
+             rng.integers(0, 4096, t // 2).astype(np.int32),
+             rng.integers(0, 4096, t).astype(np.int32)]
+    out = snac.decode_window(heads, 200, 216, seed=0)
+    assert len(out) == 16 * snac.cfg.up_sampling_factor
+    window_frames = (min(t, 216 + SNACDecoder.RECEPTIVE_FRAMES)
+                     - (200 - SNACDecoder.RECEPTIVE_FRAMES))
+    assert window_frames <= 16 + 2 * SNACDecoder.RECEPTIVE_FRAMES + 4

@@ -212,13 +212,16 @@ def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
         v = (h @ L["sa_v"]).reshape(B, 1, Hkv, hs)
         q = _rope(q, positions)
         k = _rope(k, positions)
-        new_k = jax.lax.dynamic_update_slice(new_k, k.transpose(1, 0, 2, 3)[None],
-                                             (l, 0, pos, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(new_v, v.transpose(1, 0, 2, 3)[None],
-                                             (l, 0, pos, 0, 0))
+        # k/v are [B=2, T=1, Hkv, hs] == the (batch, position-slice) layout of
+        # cache[l]; k[None] aligns axes (l, batch, pos, head, dim).  NOTE: a
+        # round-1 transpose here wrote the uncond batch row into the cond
+        # batch's NEXT POSITION, leaving batch 1's cache zero — found by the
+        # numpy parity harness (tests/test_parity_numpy.py::test_dia_steps_parity).
+        new_k = jax.lax.dynamic_update_slice(new_k, k[None], (l, 0, pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(new_v, v[None], (l, 0, pos, 0, 0))
         qg = q.reshape(B, 1, Hkv, group, hs)
-        ck_all = new_k[l].transpose(1, 0, 2, 3).reshape(B, -1, Hkv, hs)
-        cv_all = new_v[l].transpose(1, 0, 2, 3).reshape(B, -1, Hkv, hs)
+        ck_all = new_k[l]                       # [B, P, Hkv, hs]
+        cv_all = new_v[l]
         logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ck_all) + self_mask
         w = jax.nn.softmax(logits, axis=-1)
         attn = jnp.einsum("bhgqk,bkhd->bqhgd", w, cv_all).reshape(B, 1, Hq * hs)

@@ -81,6 +81,9 @@ class KokoroConfig:
     bos_token_id: int = 0
     eos_token_id: int = 0
     space_token_id: int = 16
+    # frame-rate activation dtype ("bfloat16" for HBM-bound generation;
+    # "float32" for numerical-parity testing)
+    compute_dtype: str = "bfloat16"
 
     @property
     def head_size(self) -> int:
@@ -500,7 +503,7 @@ def generation_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
     x = align @ hidden                                            # [F, 640]
     x = bilstm(x, dp["shared_lstm"]["fwd"], dp["shared_lstm"]["bwd"], mask=frame_mask)
 
-    cdtype = jnp.bfloat16                 # frame-rate compute policy (HBM-bound)
+    cdtype = jnp.dtype(cfg.compute_dtype)  # frame-rate compute policy (HBM-bound)
     f0 = x.astype(cdtype)
     f0_mask = frame_mask
     for blk in dp["f0_blocks"]:
@@ -544,7 +547,20 @@ def generation_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
     har = jnp.tanh(source @ gen["m_source_w"] + gen["m_source_b"])[:, 0]   # [S]
     mag, phase = stft(har, window, cfg.n_fft, cfg.hop)            # [S/hop+1, bins]
     har_spec = jnp.concatenate([mag, phase], axis=-1).astype(cdtype)
+    return generator_tail(gen, cfg, cur, cur_mask, har_spec, style_gen,
+                          total, window, S)
 
+
+def generator_tail(gen, cfg: KokoroConfig, cur, cur_mask, har_spec, style_gen,
+                   total, window, S: int):
+    """Upsample stack + noise blocks + iSTFT, from the decoder output `cur`
+    [F2, C] and the harmonic spectrum `har_spec` [S/hop+1, 2*bins].
+
+    Split out of `generation_forward` (it is traced inline there) so the
+    numpy parity harness can compare it on a shared spectrum — the raw STFT
+    phase feature has a +/-pi branch ambiguity that makes full-graph
+    bit-comparisons meaningless across float implementations."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
     x = cur * cur_mask.astype(cdtype)[:, None]
     n_ups = len(gen["ups"])
     valid = 2 * total                     # valid frames at the current rate

@@ -370,8 +370,7 @@ class OrpheusRunner(TTSRunner):
         pos = T
         max_steps = min(config.max_tokens or cfg.max_generation_size,
                         cfg.max_generation_size)
-        emitted_samples = 0
-
+        emitted_frames = 0
         while outputs[-1] != cfg.stopping_token_id and len(outputs) < max_steps:
             budget = min(chunk_tokens, max_steps - len(outputs))
             key, sub = jax.random.split(key)
@@ -389,12 +388,27 @@ class OrpheusRunner(TTSRunner):
             pos += n
             clean = [t for t in outputs if t != cfg.stopping_token_id]
             heads = redistribute_output_tokens(clean, cfg)
-            audio = self.snac.decode(heads, seed=config.seed or 0)
-            if len(audio) > emitted_samples:
-                yield audio[emitted_samples:]
-                emitted_samples = len(audio)
+            total_frames = len(heads[-1])
+            # bounded-context window decode: O(chunk) codec work per chunk;
+            # hold RECEPTIVE_FRAMES back so every emitted sample has full
+            # right context -> the stream equals a single full decode exactly
+            target = total_frames - self.snac.RECEPTIVE_FRAMES
+            if target > emitted_frames:
+                audio = self.snac.decode_window(heads, emitted_frames, target,
+                                                seed=config.seed or 0)
+                emitted_frames = target
+                if len(audio):
+                    yield audio
             if n < budget:
                 break
+        # final flush: the held-back tail (and anything not yet emitted)
+        clean = [t for t in outputs if t != cfg.stopping_token_id]
+        heads = redistribute_output_tokens(clean, cfg)
+        if len(heads[-1]) > emitted_frames:
+            audio = self.snac.decode_window(heads, emitted_frames,
+                                            len(heads[-1]), seed=config.seed or 0)
+            if len(audio):
+                yield audio
         self._cache = cache
 
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
