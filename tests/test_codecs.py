@@ -133,3 +133,21 @@ def test_snac_window_is_o_chunk(snac):
     window_frames = (min(t, 216 + SNACDecoder.RECEPTIVE_FRAMES)
                      - (200 - SNACDecoder.RECEPTIVE_FRAMES))
     assert window_frames <= 16 + 2 * SNACDecoder.RECEPTIVE_FRAMES + 4
+
+
+def test_dac_streaming_window_matches_full(dac):
+    """DAC decode_window with two-sided context reproduces the full decode
+    exactly (no noise in DAC)."""
+    rng = np.random.default_rng(9)
+    t = 80
+    codes = rng.integers(0, 1024, (t, 9)).astype(np.int32)
+    full = dac.decode(codes)
+    hold = dac.RECEPTIVE_FRAMES
+    pieces, emitted = [], 0
+    for upto in (20, 41, 66, 80):
+        target = upto if upto == t else max(emitted, upto - hold)
+        pieces.append(dac.decode_window(codes[:upto], emitted, target))
+        emitted = target
+    stream = np.concatenate(pieces)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5, rtol=0)

@@ -55,3 +55,15 @@ def test_adjust_output_tokens_delay():
 def test_max_tokens_guard(runner):
     with pytest.raises(TTSError):
         runner.generate("hi", GenerationConfig(max_tokens=5))
+
+
+def test_generate_stream_matches_generate(runner):
+    """Chunked CFG streaming (resumable delay-drain state + windowed DAC)
+    equals the one-shot generate exactly for the same seed."""
+    cfg = GenerationConfig(seed=2, max_tokens=40)
+    full = runner.generate("[S1] stream me.", cfg)
+    chunks = list(runner.generate_stream("[S1] stream me.", cfg, chunk_steps=11))
+    stream = (np.concatenate(chunks) if chunks
+              else np.zeros(0, np.float32))
+    assert stream.shape == full.audio.shape
+    np.testing.assert_allclose(stream, full.audio, atol=2e-5, rtol=0)

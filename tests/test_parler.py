@@ -84,3 +84,15 @@ def test_single_step_api(runner):
         jax.random.PRNGKey(0), init_state(cfg.n_output_heads))
     assert sampled.shape == (cfg.n_output_heads,)
     assert np.asarray(sampled).max() < cfg.output_vocab_size
+
+
+def test_generate_stream_matches_generate(runner):
+    """Chunked streaming (resumable loop state + windowed DAC) equals the
+    one-shot generate exactly for the same seed."""
+    cfg = GenerationConfig(seed=3, max_tokens=40)
+    full = runner.generate("stream me", cfg)
+    chunks = list(runner.generate_stream("stream me", cfg, chunk_steps=13))
+    stream = (np.concatenate(chunks) if chunks
+              else np.zeros(0, np.float32))
+    assert stream.shape == full.audio.shape
+    np.testing.assert_allclose(stream, full.audio, atol=2e-5, rtol=0)

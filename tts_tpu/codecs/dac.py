@@ -123,6 +123,10 @@ class DACDecoder:
     """Bucketed host wrapper: tokens [T, 9] -> float32 PCM numpy."""
 
     sample_rate = 44100
+    # receptive field in frames: in-conv +/-3, layer-1 residual units
+    # +/-39/8, transposed-conv kernels +/-~1 each, deeper layers sub-frame;
+    # 16 gives margin (verified by test_dac_streaming_window)
+    RECEPTIVE_FRAMES = 16
 
     def __init__(self, cfg: DACConfig, params: dict):
         self.cfg = cfg
@@ -150,3 +154,21 @@ class DACDecoder:
         audio = dac_decode(self.params, self.cfg, jnp.asarray(padded),
                            jnp.asarray(t, jnp.int32))
         return np.asarray(audio[: t * self.cfg.up_sampling_factor])
+
+    def decode_window(self, codes: np.ndarray, emit_start: int,
+                      emit_end: int) -> np.ndarray:
+        """Incremental decode: given the frames so far, decode a bounded
+        window with RECEPTIVE_FRAMES of context on both sides and return the
+        samples for frames [emit_start, emit_end) — O(chunk) codec work per
+        chunk.  With emission held RECEPTIVE_FRAMES behind the decode head
+        (Parler/Dia generate_stream), concatenated chunks equal a single
+        full decode (DAC has no noise injection, so this is exact)."""
+        total = len(codes)
+        emit_end = min(emit_end, total)
+        if emit_end <= emit_start:
+            return np.zeros(0, np.float32)
+        start = max(0, emit_start - self.RECEPTIVE_FRAMES)
+        end = min(total, emit_end + self.RECEPTIVE_FRAMES)
+        audio = self.decode(np.asarray(codes[start:end], np.int32))
+        up = self.cfg.up_sampling_factor
+        return audio[(emit_start - start) * up : (emit_end - start) * up]

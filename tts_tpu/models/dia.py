@@ -249,13 +249,24 @@ def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
     return merged, {"k": new_k, "v": new_v}
 
 
+def dia_init_loop_state(cfg: DiaConfig):
+    """Resumable decode carry: (next tokens, delay-drain counter, position) —
+    lets generate_stream run the CFG loop in chunks."""
+    return (jnp.full((cfg.n_output_heads,), cfg.bos_token_id, jnp.int32),
+            jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
          donate_argnames=("cache",))
-def dia_decode_loop(params, cfg: DiaConfig, limit, cache, cross_kv, key,
-                    sampler_state, *, temperature=1.0, top_k: int = 0,
-                    top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
-    """Full CFG decode with the EOS delay-drain in one dispatch
-    (parity: generate_from_batch + check_stopping, dia/model.cpp:806-870)."""
+def dia_decode_loop(params, cfg: DiaConfig, limit, budget, cache, cross_kv,
+                    key, sampler_state, loop_state, *, temperature=1.0,
+                    top_k: int = 0, top_p=1.0, repetition_penalty=1.0,
+                    do_sample: bool = True):
+    """CFG decode with the EOS delay-drain in one dispatch (parity:
+    generate_from_batch + check_stopping, dia/model.cpp:806-870).
+    `budget` caps this dispatch's steps; `loop_state` (dia_init_loop_state or
+    a previous chunk's return) resumes the drain/position state so chunked
+    streaming decodes the same tokens as one full dispatch."""
     H = cfg.n_output_heads
     max_steps = cfg.max_generation_size
     delays = jnp.asarray(cfg.delay_pattern)
@@ -264,7 +275,7 @@ def dia_decode_loop(params, cfg: DiaConfig, limit, cache, cross_kv, key,
 
     def cond(state):
         step, pos, tokens, delay, cache, key, sstate, out = state
-        return (delay != 0) & (step < max_steps)
+        return (delay != 0) & (step < budget)
 
     def body(state):
         step, pos, tokens, delay, cache, key, sstate, out = state
@@ -290,12 +301,12 @@ def dia_decode_loop(params, cfg: DiaConfig, limit, cache, cross_kv, key,
         delay = jnp.where(delay > 0, delay - 1, delay)
         return (step + 1, pos, nxt, delay, cache, key, sstate, out)
 
-    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.full((H,), cfg.bos_token_id, jnp.int32),
-            jnp.asarray(-1, jnp.int32), cache, key, sampler_state, out)
+    tokens0, delay0, pos0 = loop_state
+    init = (jnp.asarray(0, jnp.int32), pos0, tokens0, delay0, cache, key,
+            sampler_state, out)
     step, pos, tokens, delay, cache, key, sstate, out = jax.lax.while_loop(
         cond, body, init)
-    return out, step, cache, sstate
+    return out, step, cache, sstate, (tokens, delay, pos), key
 
 
 def tokenize_dia_sentence(text: str, cfg: DiaConfig) -> list[int]:
@@ -343,16 +354,11 @@ class DiaRunner(TTSRunner):
         self.dac = dac
         self._cache = None
 
-    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
-        import time
-
-        config = config or GenerationConfig()
+    def _encode(self, text: str, config: GenerationConfig):
+        """Tokenize + encoder + cross-KV + fresh cache + sampler init."""
         cfg = self.cfg
         if config.max_tokens and config.max_tokens <= cfg.max_delay:
             raise TTSError(f"max_tokens must exceed the delay window ({cfg.max_delay})")
-        max_gen = config.max_tokens or cfg.max_generation_size
-
-        t0 = time.perf_counter()
         ids = tokenize_dia_sentence(text, cfg)
         tokens = np.zeros((2, cfg.max_encoder_context_length), np.int32)
         tokens[0, : len(ids)] = ids
@@ -363,16 +369,64 @@ class DiaRunner(TTSRunner):
         if self._cache is None:
             self._cache = init_dia_cache(cfg)
         cache = jax.tree_util.tree_map(lambda x: x * 0, self._cache)
-        t_encode = time.perf_counter()
-
         key = jax.random.PRNGKey(config.seed if config.seed is not None else
                                  np.random.randint(0, 2**31 - 1))
-        sampler_state = init_state(cfg.n_output_heads)
+        return cross, cache, key, init_state(cfg.n_output_heads)
+
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        chunk_steps: int = 48):
+        """Yield audio incrementally: the CFG loop runs in `chunk_steps`
+        slices (resumable drain state) and the DAC decodes bounded windows,
+        emission held RECEPTIVE_FRAMES behind the un-weaved frame head —
+        the concatenated stream equals generate()'s audio."""
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        max_gen = config.max_tokens or cfg.max_generation_size
+        cross, cache, key, sampler_state = self._encode(text, config)
+        loop_state = dia_init_loop_state(cfg)
+        outputs = np.zeros((0, cfg.n_output_heads), np.int32)
+        emitted = 0
+        done = False
+        while not done and len(outputs) < max_gen:
+            budget = min(chunk_steps, cfg.max_generation_size - len(outputs))
+            out_tokens, n_steps, cache, sampler_state, loop_state, key = \
+                dia_decode_loop(
+                    self.params, cfg, jnp.asarray(max_gen, jnp.int32),
+                    jnp.asarray(budget, jnp.int32), cache, cross, key,
+                    sampler_state, loop_state, temperature=config.temperature,
+                    top_k=config.top_k, top_p=config.top_p,
+                    repetition_penalty=config.repetition_penalty,
+                    do_sample=config.sample)
+            n = int(n_steps)
+            done = int(loop_state[1]) == 0        # drain finished
+            outputs = np.concatenate([outputs, np.asarray(out_tokens)[:n]])
+            frames = adjust_output_tokens(outputs, cfg)
+            target = (len(frames) if done or len(outputs) >= max_gen
+                      else len(frames) - self.dac.RECEPTIVE_FRAMES)
+            if target > emitted:
+                audio = self.dac.decode_window(frames, emitted, target)
+                emitted = target
+                if len(audio):
+                    yield audio
+        self._cache = cache
+
+    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
+        import time
+
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        max_gen = config.max_tokens or cfg.max_generation_size
+
+        t0 = time.perf_counter()
+        cross, cache, key, sampler_state = self._encode(text, config)
+        t_encode = time.perf_counter()
 
         # one dispatch: CFG decode + delay-drain run on device
-        out_tokens, n_steps, cache, sampler_state = dia_decode_loop(
-            self.params, cfg, jnp.asarray(max_gen, jnp.int32), cache, cross,
-            key, sampler_state, temperature=config.temperature,
+        out_tokens, n_steps, cache, sampler_state, _, _ = dia_decode_loop(
+            self.params, cfg, jnp.asarray(max_gen, jnp.int32),
+            jnp.asarray(cfg.max_generation_size, jnp.int32), cache, cross,
+            key, sampler_state, dia_init_loop_state(cfg),
+            temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
             repetition_penalty=config.repetition_penalty,
             do_sample=config.sample)

@@ -302,7 +302,9 @@ def orpheus_decode_loop(params, cfg: OrpheusConfig, first_token, start_pos,
     init = (jnp.asarray(0, jnp.int32), first_token, start_pos, cache, key,
             sampler_state, out)
     i, token, pos, cache, key, sstate, out = jax.lax.while_loop(cond, body, init)
-    return out, i, cache, sstate
+    # evolved key returned so chunked streaming continues the same PRNG
+    # stream a single full dispatch would use
+    return out, i, cache, sstate, key
 
 
 def redistribute_output_tokens(tokens: list[int], cfg: OrpheusConfig):
@@ -373,11 +375,10 @@ class OrpheusRunner(TTSRunner):
         emitted_frames = 0
         while outputs[-1] != cfg.stopping_token_id and len(outputs) < max_steps:
             budget = min(chunk_tokens, max_steps - len(outputs))
-            key, sub = jax.random.split(key)
-            toks, n, cache, sampler_state = orpheus_decode_loop(
+            toks, n, cache, sampler_state, key = orpheus_decode_loop(
                 self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
                 jnp.asarray(pos, jnp.int32), jnp.asarray(budget, jnp.int32),
-                cache, sub, sampler_state, max_steps=cfg.max_generation_size,
+                cache, key, sampler_state, max_steps=cfg.max_generation_size,
                 temperature=config.temperature, top_k=config.top_k,
                 top_p=config.top_p, repetition_penalty=config.repetition_penalty,
                 do_sample=config.sample)
@@ -451,7 +452,7 @@ class OrpheusRunner(TTSRunner):
         max_steps = min(config.max_tokens or cfg.max_generation_size,
                         cfg.max_generation_size)
         # one dispatch: the whole AR loop runs on device
-        tokens_arr, n_generated, cache, sampler_state = orpheus_decode_loop(
+        tokens_arr, n_generated, cache, sampler_state, _ = orpheus_decode_loop(
             self.params, cfg, first[0], jnp.asarray(T, jnp.int32),
             jnp.asarray(max_steps - 1, jnp.int32), cache, key, sampler_state,
             max_steps=cfg.max_generation_size,

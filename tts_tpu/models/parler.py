@@ -231,16 +231,28 @@ def parler_decode_step(params, cfg: ParlerConfig, audio_tokens, pos, cache,
     return tokens, cache, sampler_state
 
 
+def init_loop_state(cfg: ParlerConfig):
+    """Resumable decode-loop carry: (next input tokens, per-head EOS flags,
+    global step counter) — lets generate_stream run the loop in chunks."""
+    return (jnp.full((cfg.n_output_heads,), cfg.bos_token_id, jnp.int32),
+            jnp.zeros((cfg.n_output_heads,), bool),
+            jnp.asarray(0, jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_steps", "use_cross", "top_k",
                                    "do_sample"),
          donate_argnames=("cache",))
 def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
-                       cross_kv, key, sampler_state, *, max_steps: int,
-                       use_cross: bool = True, temperature=1.0, top_k: int = 0,
-                       top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
-    """The whole 9-head AR loop in one dispatch: BOS-delay staircase, per-head
-    EOS tracking, and stop-when-all-heads-done run on device
-    (parity: generate_from_batch, parler/model.cpp:762-793)."""
+                       cross_kv, key, sampler_state, loop_state, *,
+                       max_steps: int, use_cross: bool = True, temperature=1.0,
+                       top_k: int = 0, top_p=1.0, repetition_penalty=1.0,
+                       do_sample: bool = True):
+    """The 9-head AR loop in one dispatch: BOS-delay staircase, per-head EOS
+    tracking, and stop-when-all-heads-done run on device (parity:
+    generate_from_batch, parler/model.cpp:762-793).  `loop_state` (from
+    `init_loop_state` or a previous chunk) makes the loop resumable; the
+    BOS staircase follows the GLOBAL step so chunked streaming decodes the
+    same tokens as one full dispatch."""
     H = cfg.n_output_heads
     out = jnp.full((max_steps, H), cfg.eos_token_id, jnp.int32)
     embds = jnp.stack(params["embds"])
@@ -248,11 +260,11 @@ def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
     head_idx = jnp.arange(H)
 
     def cond(state):
-        step, pos, tokens, eos_seen, cache, key, sstate, out = state
+        step, pos, (tokens, eos_seen, gstep), cache, key, sstate, out = state
         return (step < limit) & ~jnp.all(eos_seen)
 
     def body(state):
-        step, pos, tokens, eos_seen, cache, key, sstate, out = state
+        step, pos, (tokens, eos_seen, gstep), cache, key, sstate, out = state
         x = jnp.sum(embds[head_idx, tokens], axis=0) + params["positional"][pos]
         x, cache = _transformer(params, cfg, x[None], cache, pos, pos[None],
                                 cross_kv if use_cross else None)
@@ -264,17 +276,19 @@ def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
             do_sample=do_sample)
         out = out.at[step].set(sampled)
         eos_seen = eos_seen | (sampled == cfg.eos_token_id)
-        nxt = jnp.where(step + 1 > head_idx,
+        nxt = jnp.where(gstep + 1 > head_idx,
                         jnp.where(eos_seen, cfg.eos_token_id, sampled),
                         cfg.bos_token_id).astype(jnp.int32)
-        return (step + 1, pos + 1, nxt, eos_seen, cache, key, sstate, out)
+        return (step + 1, pos + 1, (nxt, eos_seen, gstep + 1), cache, key,
+                sstate, out)
 
-    init = (jnp.asarray(0, jnp.int32), start_pos,
-            jnp.full((H,), cfg.bos_token_id, jnp.int32),
-            jnp.zeros((H,), bool), cache, key, sampler_state, out)
-    step, pos, tokens, eos_seen, cache, key, sstate, out = jax.lax.while_loop(
+    init = (jnp.asarray(0, jnp.int32), start_pos, loop_state, cache, key,
+            sampler_state, out)
+    step, pos, loop_state, cache, key, sstate, out = jax.lax.while_loop(
         cond, body, init)
-    return out, step, cache, sstate
+    # the evolved key comes back so a chunked (streaming) caller continues
+    # the exact PRNG stream a single full dispatch would use
+    return out, step, cache, sstate, loop_state, key
 
 
 def adjust_output_tokens(output: np.ndarray, cfg: ParlerConfig) -> np.ndarray:
@@ -321,13 +335,10 @@ class ParlerRunner(TTSRunner):
         self.cross_kv = jax.jit(precompute_cross_kv, static_argnames=("cfg",))(
             self.params, self.cfg)
 
-    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
-        import time
-
-        config = config or GenerationConfig()
+    def _prefill(self, text: str, config: GenerationConfig):
+        """Tokenize + prompt prefill; returns (cache, key, sampler_state,
+        prompt_len, max_steps, use_cross)."""
         cfg = self.cfg
-        t0 = time.perf_counter()
-
         ids = self.tokenizer.tokenize(text) + [self.tokenizer.eos_token]
         T = len(ids)
         Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
@@ -341,19 +352,67 @@ class ParlerRunner(TTSRunner):
         cache = parler_prefill(self.params, cfg, jnp.asarray(tokens),
                                jnp.asarray(T, jnp.int32), cache, self.cross_kv,
                                use_cross=use_cross)
-
         key = jax.random.PRNGKey(config.seed if config.seed is not None else
                                  np.random.randint(0, 2**31 - 1))
         sampler_state = init_state(cfg.n_output_heads)
         max_steps = min(config.max_tokens or cfg.max_generation_size,
                         cfg.max_generation_size, cfg.max_ctx_length - T)
+        return cache, key, sampler_state, T, max_steps, use_cross
+
+    def generate_stream(self, text: str, config: GenerationConfig | None = None,
+                        chunk_steps: int = 48):
+        """Yield audio incrementally: the device loop runs in `chunk_steps`
+        slices (resumable loop_state keeps the BOS staircase global) and the
+        DAC decodes bounded windows with the emission held RECEPTIVE_FRAMES
+        behind the un-weaved frame head — so the concatenated stream equals
+        generate()'s audio for the same sampled tokens."""
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        cache, key, sampler_state, T, max_steps, use_cross = self._prefill(
+            text, config)
+        loop_state = init_loop_state(cfg)
+        outputs = np.zeros((0, cfg.n_output_heads), np.int32)
+        emitted = 0
+        done = False
+        while not done and len(outputs) < max_steps:
+            budget = min(chunk_steps, max_steps - len(outputs))
+            out_tokens, n_steps, cache, sampler_state, loop_state, key = \
+                parler_decode_loop(
+                    self.params, cfg, jnp.asarray(T + len(outputs), jnp.int32),
+                    jnp.asarray(budget, jnp.int32), cache, self.cross_kv, key,
+                    sampler_state, loop_state, max_steps=cfg.max_generation_size,
+                    use_cross=use_cross, temperature=config.temperature,
+                    top_k=config.top_k, top_p=config.top_p,
+                    repetition_penalty=config.repetition_penalty,
+                    do_sample=config.sample)
+            n = int(n_steps)
+            done = n < budget                     # all heads hit EOS
+            outputs = np.concatenate([outputs, np.asarray(out_tokens)[:n]])
+            frames = adjust_output_tokens(outputs, cfg)
+            target = (len(frames) if done or len(outputs) >= max_steps
+                      else len(frames) - self.dac.RECEPTIVE_FRAMES)
+            if target > emitted:
+                audio = self.dac.decode_window(frames, emitted, target)
+                emitted = target
+                if len(audio):
+                    yield audio
+        self._cache = cache
+
+    def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
+        import time
+
+        config = config or GenerationConfig()
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        cache, key, sampler_state, T, max_steps, use_cross = self._prefill(
+            text, config)
         t_prefill = time.perf_counter()
 
         # one dispatch: the whole AR loop runs on device
-        out_tokens, n_steps, cache, sampler_state = parler_decode_loop(
+        out_tokens, n_steps, cache, sampler_state, _, _ = parler_decode_loop(
             self.params, cfg, jnp.asarray(T, jnp.int32),
             jnp.asarray(max_steps, jnp.int32), cache, self.cross_kv, key,
-            sampler_state, max_steps=cfg.max_generation_size,
+            sampler_state, init_loop_state(cfg), max_steps=cfg.max_generation_size,
             use_cross=use_cross, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
             repetition_penalty=config.repetition_penalty,
