@@ -707,7 +707,7 @@ def orpheus_forward(params, cfg, tokens, positions, start_pos, cache_k, cache_v)
 def t5_rel_buckets(n, n_buckets=32, max_distance=128):
     half = n_buckets // 2
     max_exact = half // 2
-    rel = np.arange(n)[:, None] - np.arange(n)[None, :]
+    rel = np.arange(n)[None, :] - np.arange(n)[:, None]   # key - query (HF)
     out = np.where(rel > 0, half, 0)
     ab = np.abs(rel)
     log_big = (max_exact + (np.log(np.maximum(ab, 1) / max_exact)

@@ -52,7 +52,7 @@ def test_bucket_invariance(tiny_runner):
 
     from tts_tpu.models import kokoro as K
     orig = K.FRAME_BUCKETS
-    K.FRAME_BUCKETS = (orig[1],)   # force the next-size bucket
+    K.FRAME_BUCKETS = (512,)       # force a larger bucket than the default hit
     try:
         audio_big = model.synthesize(tokens, "af_heart", seed=1)
     finally:

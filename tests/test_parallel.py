@@ -154,3 +154,54 @@ def test_dryrun_multichip_self_provisions():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
     assert "dryrun TP decode OK" in out.stdout
+
+
+def test_data_parallel_replica_placement(tmp_path):
+    """--data-parallel commits one replica per chip and replicas produce the
+    same audio (SURVEY §2.9(c): dp request serving replaces --n-parallelism)."""
+    import jax
+
+    from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
+    from tts_tpu.parallel.serving import load_replica
+    from tts_tpu.runtime.api import GenerationConfig
+
+    path = str(tmp_path / "k.gguf")
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    cfg = GenerationConfig(voice="af_heart", seed=0)
+    r0 = load_replica(path, cfg, jax.devices()[0])
+    r1 = load_replica(path, cfg, jax.devices()[1])
+    # weights committed to distinct chips
+    d0 = r0.model.params["albert"]["token_embd"].devices()
+    d1 = r1.model.params["albert"]["token_embd"].devices()
+    assert d0 == {jax.devices()[0]} and d1 == {jax.devices()[1]}
+    a0 = r0.generate("hello world", cfg)
+    a1 = r1.generate("hello world", cfg)
+    np.testing.assert_array_equal(a0.audio, a1.audio)
+    assert len(a0.audio) > 0
+
+
+def test_server_data_parallel_routing(tmp_path):
+    """ServerState(data_parallel=True) loads one replica per (model, chip)
+    and serves requests from replicas on different devices."""
+    import jax
+
+    from tts_tpu.apps.server import ServerState
+    from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
+    from tts_tpu.runtime.api import GenerationConfig
+
+    path = str(tmp_path / "k.gguf")
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    state = ServerState({"k": path}, GenerationConfig(voice="af_heart", seed=0),
+                        n_parallelism=2, data_parallel=True)
+    results = [state.submit({"kind": "tts", "model": "k", "prompt": "hi there",
+                             "config": GenerationConfig(voice="af_heart", seed=0)})
+               for _ in range(4)]
+    assert all(r["success"] for r in results)
+    lens = {len(r["audio"]) for r in results}
+    assert len(lens) == 1 and lens.pop() > 0
+    # replicas were placed on at least 2 distinct devices
+    devs = set()
+    for key, runner in state._runners.items():
+        assert isinstance(key, tuple)
+        devs |= runner.model.params["albert"]["token_embd"].devices()
+    assert len(devs) >= 2

@@ -36,10 +36,11 @@ def test_relative_position_buckets():
     b = np.asarray(relative_position_buckets(8))
     assert b.shape == (8, 8)
     assert b[0, 0] == 0
-    # forward (key before query) vs backward offsets land in distinct halves
-    assert b[4, 2] >= 16 and b[2, 4] < 16
+    # future keys (key > query) get the +half offset — the HF convention,
+    # verified against transformers in test_hf_parity.py
+    assert b[2, 4] >= 16 and b[4, 2] < 16
     # symmetric distances share a magnitude bucket modulo the direction offset
-    assert b[4, 2] - 16 == b[2, 4]
+    assert b[2, 4] - 16 == b[4, 2]
 
 
 def test_parler_conditional_prompt_swap(t5_path, tmp_path):

@@ -52,7 +52,10 @@ def main(argv=None) -> int:
     p.add_argument("--model-path", "-mp", required=True)
     p.add_argument("--voice", "-v", default="")
     p.add_argument("--n-sentences", type=int, default=len(HARVARD_SENTENCES))
-    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--warmup", type=int, default=1,
+                   help="passes over the FULL battery before timing (compiles "
+                        "every shape bucket the battery hits, so means report "
+                        "steady-state, not first-compile); 0 disables")
     p.add_argument("--json", action="store_true", help="print one JSON line")
     args = p.parse_args(argv)
 
@@ -63,8 +66,13 @@ def main(argv=None) -> int:
     runner = runner_from_file(args.model_path, config)
     sentences = HARVARD_SENTENCES[: args.n_sentences]
 
-    for s in sentences[: args.warmup]:
-        runner.generate(s, config)
+    # warm the full bucket set: every sentence (and first-chunk stream bucket)
+    for _ in range(args.warmup):
+        for s in sentences:
+            runner.generate(s, config)
+        if hasattr(runner, "generate_stream"):
+            for _chunk in runner.generate_stream(sentences[0], config):
+                break
 
     gen_times = []
     codec_times = []

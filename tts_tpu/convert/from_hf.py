@@ -230,6 +230,211 @@ def map_kokoro_text_encoder(sd: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Orpheus (HF Llama) + SNAC
+# ---------------------------------------------------------------------------
+
+def map_orpheus_llama(sd: dict) -> dict:
+    """HF LlamaForCausalLM state dict -> orpheus.* GGUF names
+    (parity: py-gguf orpheus_gguf_encoder.prepare_orpheus_tensors: every
+    backbone name keeps its HF path, '.weight' stripped, 'orpheus.' prefix)."""
+    out = {}
+    for name, param in sd.items():
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if not name.endswith(".weight"):
+            continue
+        out[f"orpheus.{name[:-len('.weight')]}"] = param
+    return out
+
+
+def llama3_rope_factors(head_dim: int, theta: float, rope_scaling: dict) -> np.ndarray:
+    """Per-dimension frequency divisors for llama-3 scaled RoPE
+    (parity: orpheus_gguf_encoder.prepare_rope_frequencies — the GGUF stores
+    the divisor applied to each base frequency)."""
+    freqs = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    factor = rope_scaling.get("factor", 8.0)
+    low = rope_scaling.get("low_freq_factor", 1.0)
+    high = rope_scaling.get("high_freq_factor", 4.0)
+    old_ctx = rope_scaling.get("original_max_position_embeddings", 8192)
+    low_wavelen = old_ctx / low
+    high_wavelen = old_ctx / high
+    out = []
+    for f in freqs:
+        wavelen = 2 * math.pi / f
+        if wavelen < high_wavelen:
+            out.append(1.0)
+        elif wavelen > low_wavelen:
+            out.append(factor)
+        else:
+            smooth = (old_ctx / wavelen - low) / (high - low)
+            out.append(1.0 / ((1 - smooth) / factor + smooth))
+    return np.asarray(out, np.float32)
+
+
+SNAC_RESIDUAL_UNIT_PARTS = {
+    "block.0.alpha": "res.initial.alpha",
+    "block.1.bias": "res.initial.bias",
+    "block.1.weight": "res.initial.weight",
+    "block.2.alpha": "res.final.alpha",
+    "block.3.bias": "res.final.bias",
+    "block.3.weight": "res.final.weight",
+}
+
+
+def simplify_snac_name(name: str) -> str | None:
+    """snac decoder.model parameter path -> snac.* GGUF suffix
+    (parity: orpheus_gguf_encoder.simplify_snac_name)."""
+    parts = name.split(".")
+    idx = int(parts[0])
+    if idx == 6:
+        return "alpha_out"
+    if idx == 7:
+        return f"final.{parts[1]}"
+    if idx == 0:
+        return f"in.{parts[1]}"
+    if idx == 1:
+        return f"up.{parts[1]}"
+    idx -= 2
+    layer_index = int(parts[2])
+    if layer_index == 0:
+        return f"layers.{idx}.alpha"
+    if layer_index == 1:
+        return f"layers.{idx}.{parts[-1]}"
+    if layer_index == 2:
+        return f"layers.{idx}.noise_{parts[-1]}"
+    key = ".".join(parts[-3:])
+    if key not in SNAC_RESIDUAL_UNIT_PARTS:
+        return None
+    return (f"layers.{idx}.residual_unit.{layer_index - 3}."
+            f"{SNAC_RESIDUAL_UNIT_PARTS[key]}")
+
+
+def fold_parametrizations(sd: dict) -> dict:
+    """torch.nn.utils.parametrizations weight-norm pairs
+    ({base}.parametrizations.weight.original0/1 = g/v) -> {base}.weight."""
+    out = {}
+    for name, arr in sd.items():
+        if ".parametrizations.weight.original0" in name:
+            base = name.split(".parametrizations.")[0]
+            v = sd[base + ".parametrizations.weight.original1"]
+            out[base + ".weight"] = regularize_weight_norm(arr, v)
+        elif ".parametrizations." in name:
+            continue
+        else:
+            out[name] = arr
+    return out
+
+
+def map_snac(decoder_sd: dict, quantizer_sd: dict) -> dict:
+    """snac decoder.model + quantizer state dicts -> snac.* GGUF names."""
+    out = {}
+    for name, arr in fold_parametrizations(quantizer_sd).items():
+        out[f"snac.{name}"] = arr
+    for name, arr in fold_parametrizations(decoder_sd).items():
+        simple = simplify_snac_name(name)
+        if simple is not None:
+            out[f"snac.{simple}"] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (HF T5EncoderModel)
+# ---------------------------------------------------------------------------
+
+def map_t5_encoder(sd: dict) -> dict:
+    """HF T5EncoderModel state dict -> t5encoder.* GGUF names
+    (parity: py-gguf t5_encoder_gguf_encoder.py:79-90)."""
+    out = {}
+    for name, param in sd.items():
+        if name in ("shared.weight", "encoder.embed_tokens.weight"):
+            out["t5encoder.token_embd"] = param
+        elif name == "encoder.final_layer_norm.weight":
+            out["t5encoder.enc.final_layer_norm"] = param
+        elif name.startswith("encoder.block."):
+            parts = name.split(".")
+            i = int(parts[2])
+            blk = f"t5encoder.enc.blk.{i}"
+            rest = ".".join(parts[3:])
+            if rest == "layer.0.SelfAttention.relative_attention_bias.weight":
+                out[f"{blk}.attn_rel_b"] = param
+            elif rest.startswith("layer.0.SelfAttention."):
+                out[f"{blk}.attn_{parts[-2]}"] = param
+            elif rest == "layer.0.layer_norm.weight":
+                out[f"{blk}.attn_norm"] = param
+            elif rest == "layer.1.DenseReluDense.wi_0.weight":
+                out[f"{blk}.ffn_up"] = param
+            elif rest == "layer.1.DenseReluDense.wi_1.weight":
+                out[f"{blk}.ffn_gate"] = param
+            elif rest == "layer.1.DenseReluDense.wo.weight":
+                out[f"{blk}.ffn_down"] = param
+            elif rest == "layer.1.layer_norm.weight":
+                out[f"{blk}.ffn_norm"] = param
+    return out
+
+
+def convert_orpheus(repo: str, out_path: str, snac_repo: str | None = None):
+    """Orpheus-3B + SNAC -> GGUF.  `repo`/`snac_repo` may be local paths
+    (works offline) or hub ids."""
+    import json as _json
+
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    from tts_tpu.core.gguf import GGUFWriter
+
+    model = AutoModelForCausalLM.from_pretrained(repo).eval()
+    cfg = model.config
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    tensors = map_orpheus_llama(sd)
+    if "orpheus.lm_head" not in tensors:      # tied embeddings
+        tensors["orpheus.lm_head"] = tensors["orpheus.embed_tokens"]
+    head_dim = getattr(cfg, "head_dim", cfg.hidden_size // cfg.num_attention_heads)
+    tensors["orpheus.rope_frequencies"] = llama3_rope_factors(
+        head_dim, cfg.rope_theta, cfg.rope_scaling or {})
+
+    if snac_repo:
+        try:
+            from snac import SNAC
+            sm = SNAC.from_pretrained(snac_repo).eval()
+            dec = {k: v.detach().float().numpy()
+                   for k, v in sm.decoder.model.state_dict().items()}
+            qnt = {k: v.detach().float().numpy()
+                   for k, v in sm.quantizer.state_dict().items()}
+            tensors.update(map_snac(dec, qnt))
+        except ImportError:
+            raise SystemExit("the `snac` package is required for --snac-repo")
+
+    w = GGUFWriter(out_path)
+    kv = {
+        "general.architecture": "orpheus",
+        "orpheus.layers": cfg.num_hidden_layers,
+        "orpheus.hidden_size": cfg.hidden_size,
+        "orpheus.attn_heads": cfg.num_attention_heads,
+        "orpheus.kv_attn_heads": cfg.num_key_value_heads,
+        "orpheus.head_dim": head_dim,
+        "orpheus.vocab_size": cfg.vocab_size,
+        "orpheus.stopping_token_id": 128258,
+    }
+    tok = AutoTokenizer.from_pretrained(repo)
+    vocab = tok.get_vocab()
+    ordered = [""] * (max(vocab.values()) + 1)
+    for t, i in vocab.items():
+        ordered[i] = t
+    kv["tokenizer.ggml.tokens"] = ordered
+    tj = _json.loads(tok._tokenizer.to_str())
+    kv["tokenizer.ggml.merges"] = [
+        m if isinstance(m, str) else " ".join(m)
+        for m in tj["model"]["merges"]]
+    kv["tokenizer.ggml.bos_token_id"] = tok.bos_token_id or 128000
+    kv["tokenizer.ggml.eos_token_id"] = tok.eos_token_id or 128009
+    for k, v in kv.items():
+        w.add_kv(k, v)
+    for name, arr in tensors.items():
+        w.add_tensor(name, np.asarray(arr, np.float32))
+    w.write()
+    print(f"wrote {out_path} ({len(tensors)} tensors)")
+
+
+# ---------------------------------------------------------------------------
 # CLI (requires torch + the model packages; mapping logic above is offline)
 # ---------------------------------------------------------------------------
 
@@ -297,11 +502,16 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(prog="tts_tpu-convert", description=__doc__)
     p.add_argument("model", choices=["kokoro", "parler", "orpheus", "dia", "t5"])
-    p.add_argument("--repo", required=True)
+    p.add_argument("--repo", required=True,
+                   help="hub id or local checkpoint directory")
     p.add_argument("--out", required=True)
+    p.add_argument("--snac-repo", default=None,
+                   help="(orpheus) SNAC codec hub id / local path")
     args = p.parse_args(argv)
     if args.model == "kokoro":
         convert_kokoro(args.repo, args.out)
+    elif args.model == "orpheus":
+        convert_orpheus(args.repo, args.out, snac_repo=args.snac_repo)
     else:
         raise SystemExit(f"converter for {args.model} not wired to a CLI yet; "
                          "use the mapping functions in this module")

@@ -477,6 +477,26 @@ def _device_window_sq_sum(window, n_fft: int, hop: int, S: int, n_frames_out):
 
 
 @partial(jax.jit, static_argnames=("cfg", "F"))
+def kokoro_fused_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
+                         style_gen, style_pros, noise_key, window):
+    """Duration prediction + generation in ONE dispatch (the round-2 lever:
+    the axon host<->TPU link costs 15-50 ms per dispatch, and the frame-bucket
+    choice is the only host decision between the two graphs — so the host
+    PREDICTS the bucket from a running frames-per-token ratio and re-dispatches
+    only when the prediction was too small; see KokoroModel.synthesize).
+
+    Returns ONE packed f32 array [F*up + 1]: audio followed by total_frames —
+    a single buffer means a single D2H transfer on the latency-bound tunnel
+    (separate fetches of audio and total measured ~100 ms vs ~30 ms packed);
+    the caller validates total <= F."""
+    sums, hidden = duration_raw(params, cfg, tokens, token_mask, style_pros)
+    durations = jnp.clip(jnp.round(sums), 1.0, 50.0) * token_mask
+    audio = _generation_body(params, cfg, F, tokens, token_mask, durations,
+                             hidden, style_gen, style_pros, noise_key, window)
+    return jnp.concatenate([audio, jnp.sum(durations)[None]])
+
+
+@partial(jax.jit, static_argnames=("cfg", "F"))
 def generation_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
                        durations, hidden, style_gen, style_pros, noise_key,
                        window):
@@ -486,6 +506,13 @@ def generation_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
     style_gen/style_pros [128]; window [n_fft]; F = frame bucket (static).
     Returns audio [F * up_sampling_factor]; the caller slices the true length.
     """
+    return _generation_body(params, cfg, F, tokens, token_mask, durations,
+                            hidden, style_gen, style_pros, noise_key, window)
+
+
+def _generation_body(params, cfg: KokoroConfig, F: int, tokens, token_mask,
+                     durations, hidden, style_gen, style_pros, noise_key,
+                     window):
     dp, dec = params["dp"], params["decoder"]
     S = F * cfg.up_sampling_factor
     F2 = 2 * F                                # post-upsample frame rate
@@ -612,9 +639,12 @@ def generator_tail(gen, cfg: KokoroConfig, cur, cur_mask, har_spec, style_gen,
 
 TOKEN_BUCKETS = (64, 128, 256, 512)
 # ~1.25x geometric steps: pad waste stays <25% while keeping the compile
-# variant count bounded (persistent cache amortizes across runs)
-FRAME_BUCKETS = (256, 384, 512, 640, 768, 1024, 1280, 1536, 2048, 2560, 3072,
-                 4096, 5120, 6144, 8192, 10240, 12800, 16384, 20480, 25600)
+# variant count bounded (persistent cache amortizes across runs).  The small
+# leading buckets serve realistic single sentences (~100-200 frames) and the
+# sub-chunked first streaming emission (TTFA).
+FRAME_BUCKETS = (64, 96, 128, 160, 192, 256, 320, 384, 448, 512, 640, 768,
+                 1024, 1280, 1536, 2048, 2560, 3072, 4096, 5120, 6144, 8192,
+                 10240, 12800, 16384, 20480, 25600)
 
 
 def pick_bucket(n: int, buckets) -> int:
@@ -631,6 +661,9 @@ class KokoroModel:
         self.cfg = cfg
         self.params = params
         self.window = jnp.asarray(hann_window(cfg.n_fft))
+        # running frames-per-token estimate for the fused-dispatch bucket
+        # prediction (voice/style dependent; ~3-8 for real speech)
+        self._frames_per_token = 8.0
 
     @classmethod
     def from_gguf(cls, gguf_file) -> "KokoroModel":
@@ -668,20 +701,39 @@ class KokoroModel:
         return tokens, mask, durations, hidden
 
     def synthesize(self, token_ids: list[int], voice: str, seed: int = 0):
-        """Full two-graph pipeline for one chunk -> float32 PCM numpy array."""
+        """One chunk -> float32 PCM, in ONE device dispatch when the
+        frame-bucket prediction holds (kokoro_fused_forward), falling back to
+        a second dispatch at the correct bucket when it doesn't."""
         cfg = self.cfg
         T = len(token_ids)
-        tokens, mask, durations, hidden = self.predict_durations(token_ids, voice)
-        dur_host = np.asarray(durations)
-        total = int(dur_host.sum())
+        Tb = pick_bucket(T, TOKEN_BUCKETS)
+        tokens = np.zeros(Tb, np.int32)
+        tokens[:T] = token_ids
+        mask = np.zeros(Tb, np.float32)
+        mask[:T] = 1.0
+        style_gen, style_pros = self.voice_style(voice, T)
+        key = jax.random.PRNGKey(seed)
+
+        # predict the frame bucket with ~12% headroom; clamped to the model
+        # cap.  Too-tight costs a rare second dispatch; too-loose wastes
+        # compute on a bigger bucket every call.
+        predicted = min(int(self._frames_per_token * T * 1.12) + 4,
+                        cfg.max_duration_per_token * T)
+        F = pick_bucket(predicted, FRAME_BUCKETS)
+        packed = np.asarray(kokoro_fused_forward(
+            self.params, cfg, F, jnp.asarray(tokens), jnp.asarray(mask),
+            style_gen, style_pros, key, self.window))
+        total = int(packed[-1])
         if total <= 0:
             return np.zeros(0, np.float32)
-        F = pick_bucket(total, FRAME_BUCKETS)
-        style_gen, style_pros = self.voice_style(voice, T)
-        audio = generation_forward(
-            self.params, cfg, F, jnp.asarray(tokens), jnp.asarray(mask),
-            durations, hidden, style_gen, style_pros,
-            jax.random.PRNGKey(seed), self.window)
-        # one full-buffer transfer, sliced host-side (an on-device slice would
-        # cost an extra dispatch over the host<->TPU link)
-        return np.asarray(audio)[: total * cfg.up_sampling_factor]
+        self._frames_per_token = 0.7 * self._frames_per_token + 0.3 * (total / T)
+        if total > F:
+            # prediction too small: re-dispatch at the right bucket (rare)
+            F = pick_bucket(total, FRAME_BUCKETS)
+            packed = np.asarray(kokoro_fused_forward(
+                self.params, cfg, F, jnp.asarray(tokens), jnp.asarray(mask),
+                style_gen, style_pros, key, self.window))
+            total = int(packed[-1])
+        # audio + total arrive in ONE transfer, sliced host-side; total can
+        # only exceed F if it exceeds the largest bucket (clamped truncation)
+        return packed[: min(total, F) * cfg.up_sampling_factor]

@@ -324,7 +324,13 @@ class ParlerRunner(TTSRunner):
 
     def update_conditional_prompt(self, text_encoder_path: str, prompt: str):
         """Re-encode the voice-conditioning prompt with a T5 GGUF
-        (parity: parler/model.cpp:510-518)."""
+        (parity: parler/model.cpp:510-518).
+
+        NOT safe to call concurrently with generate()/generate_stream(): it
+        swaps params["text_encoding"] and recomputes cross_kv in place.  The
+        server serializes all calls on a runner through its per-runner lock
+        (apps/server.py ServerState._get_runner); direct library users must
+        do the same."""
         from tts_tpu.core.gguf import GGUFFile
         from tts_tpu.models.t5 import T5Runner
 

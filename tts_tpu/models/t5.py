@@ -93,12 +93,18 @@ def _rms_norm(x, w, eps: float = 1e-6):
 
 
 def relative_position_buckets(n: int, n_buckets: int = 32, max_distance: int = 128):
-    """Bidirectional T5 relative position buckets [n, n] (query, key)."""
+    """Bidirectional T5 relative position buckets [n, n] (query, key).
+
+    Convention: rel = key - query (HF's memory_position - context_position),
+    offset bucket-half for rel > 0 (future keys) — verified bit-exact against
+    transformers' T5EncoderModel (tests/test_hf_parity.py).  The reference
+    fills its pos_bucket with i - ii (t5/model.cpp:314) but GGML consumes the
+    tensor with dims reversed, landing on the same HF convention."""
     half = n_buckets // 2
     max_exact = half // 2
     q = np.arange(n)[:, None]
     k = np.arange(n)[None, :]
-    rel = q - k                              # i - ii in the reference
+    rel = k - q
     out = np.where(rel > 0, half, 0)
     ab = np.abs(rel)
     log_big = (max_exact +
