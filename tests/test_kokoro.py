@@ -93,3 +93,26 @@ def test_tokenize_chunks_long_clause(tiny_runner):
 def test_tokenize_chunks_skips_empty(tiny_runner):
     assert tiny_runner.tokenize_chunks(["", "   ", "ab"]) != []
     assert len(tiny_runner.tokenize_chunks(["", "   "])) == 0
+
+
+def test_aot_export_cache_roundtrip(tiny_runner, tmp_path, monkeypatch):
+    """The AOT cache serializes the fused graph and a 'fresh process'
+    (cleared memory cache) deserializes it and produces identical audio."""
+    import os
+
+    from tts_tpu.runtime import aot
+
+    monkeypatch.delenv("TTS_TPU_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("TTS_TPU_AOT_DIR", str(tmp_path))
+    model = tiny_runner.model
+    model._fused_jits.clear()
+    aot._MEM.clear()
+    tokens = [0, 1, 2, 3, 16, 4, 5, 0]
+    a = model.synthesize(tokens, "af_heart", seed=2)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".jaxexport")]
+    assert files, "no AOT artifact written"
+    # fresh-process simulation: in-memory caches cleared -> deserialize path
+    aot._MEM.clear()
+    model._fused_jits.clear()
+    b = model.synthesize(tokens, "af_heart", seed=2)
+    np.testing.assert_array_equal(a, b)

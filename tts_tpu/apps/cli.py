@@ -112,7 +112,11 @@ def main(argv=None) -> int:
     write_wav(args.save_path, audio, resp.sample_rate)
     for stage, ms in resp.timings.items():
         print(f"{stage} = {ms:.2f} ms")
-    print(f"total time = {(time.perf_counter() - t_start) * 1e3:.2f} ms")
+    total_ms = (time.perf_counter() - t_start) * 1e3
+    print(f"total time = {total_ms:.2f} ms")
+    if resp.duration_s:
+        print(f"rtf = {total_ms / 1e3 / resp.duration_s:.4f} "
+              "(generation seconds per audio second, incl. model load)")
     print(f"wrote {len(audio)} samples ({len(audio) / resp.sample_rate:.2f}s) "
           f"to {args.save_path}")
     return 0

@@ -57,6 +57,9 @@ def main(argv=None) -> int:
                         "every shape bucket the battery hits, so means report "
                         "steady-state, not first-compile); 0 disables")
     p.add_argument("--json", action="store_true", help="print one JSON line")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax profiler trace of the timed battery "
+                        "into this directory (view with tensorboard/xprof)")
     args = p.parse_args(argv)
 
     from tts_tpu.models.registry import runner_from_file
@@ -77,14 +80,20 @@ def main(argv=None) -> int:
     gen_times = []
     codec_times = []
     audio_seconds = 0.0
-    for s in sentences:
-        t0 = time.perf_counter()
-        resp = runner.generate(s, config)
-        gen_times.append((time.perf_counter() - t0) * 1e3)
-        codec_times.append(resp.timings.get("codec_ms", 0.0))
-        audio_seconds += resp.duration_s
-        print(f"  {gen_times[-1]:9.2f} ms -> {resp.duration_s:6.2f}s audio",
-              file=sys.stderr)
+    import contextlib
+    profile_cm = contextlib.nullcontext()
+    if args.profile_dir:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile_dir)
+    with profile_cm:
+        for s in sentences:
+            t0 = time.perf_counter()
+            resp = runner.generate(s, config)
+            gen_times.append((time.perf_counter() - t0) * 1e3)
+            codec_times.append(resp.timings.get("codec_ms", 0.0))
+            audio_seconds += resp.duration_s
+            print(f"  {gen_times[-1]:9.2f} ms -> {resp.duration_s:6.2f}s audio",
+                  file=sys.stderr)
 
     mean_gen = sum(gen_times) / len(gen_times)
     median_gen = sorted(gen_times)[len(gen_times) // 2]

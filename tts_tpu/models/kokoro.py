@@ -664,6 +664,23 @@ class KokoroModel:
         # running frames-per-token estimate for the fused-dispatch bucket
         # prediction (voice/style dependent; ~3-8 for real speech)
         self._frames_per_token = 8.0
+        self._fused_jits: dict = {}
+
+    def _fused(self, F: int):
+        """Per-bucket jit of the fused graph with statics closed over, so the
+        AOT export cache can serialize it (runtime/aot.py)."""
+        fn = self._fused_jits.get(F)
+        if fn is None:
+            cfg = self.cfg
+            body = kokoro_fused_forward.__wrapped__
+
+            @jax.jit
+            def fused(params, tokens, mask, style_gen, style_pros, key, window):
+                return body(params, cfg, F, tokens, mask, style_gen,
+                            style_pros, key, window)
+
+            self._fused_jits[F] = fn = fused
+        return fn
 
     @classmethod
     def from_gguf(cls, gguf_file) -> "KokoroModel":
@@ -720,9 +737,16 @@ class KokoroModel:
         predicted = min(int(self._frames_per_token * T * 1.12) + 4,
                         cfg.max_duration_per_token * T)
         F = pick_bucket(predicted, FRAME_BUCKETS)
-        packed = np.asarray(kokoro_fused_forward(
-            self.params, cfg, F, jnp.asarray(tokens), jnp.asarray(mask),
-            style_gen, style_pros, key, self.window))
+
+        def run(F):
+            # AOT-export cache skips per-process trace+lower of this graph
+            from tts_tpu.runtime.aot import call_cached
+            return np.asarray(call_cached(
+                "kokoro_fused", f"F={F}|{cfg!r}", self._fused(F), self.params,
+                jnp.asarray(tokens), jnp.asarray(mask), style_gen, style_pros,
+                key, self.window))
+
+        packed = run(F)
         total = int(packed[-1])
         if total <= 0:
             return np.zeros(0, np.float32)
@@ -730,9 +754,7 @@ class KokoroModel:
         if total > F:
             # prediction too small: re-dispatch at the right bucket (rare)
             F = pick_bucket(total, FRAME_BUCKETS)
-            packed = np.asarray(kokoro_fused_forward(
-                self.params, cfg, F, jnp.asarray(tokens), jnp.asarray(mask),
-                style_gen, style_pros, key, self.window))
+            packed = run(F)
             total = int(packed[-1])
         # audio + total arrive in ONE transfer, sliced host-side; total can
         # only exceed F if it exceeds the largest bucket (clamped truncation)

@@ -1,0 +1,82 @@
+"""AOT-export cache: skip per-process trace+lower of the big jitted graphs.
+
+The XLA persistent compile cache makes *compiles* warm across processes, but
+each new process still pays Python tracing + StableHLO lowering per (token,
+frame) bucket — 30-60 s of host time for the Kokoro generation graph
+(CLAUDE.md round-2 lever).  This cache serializes `jax.export` artifacts to
+disk keyed by (function, static config, arg shapes, jax version, backend);
+a warm process deserializes the lowered module in ~100 ms and goes straight
+to the (persistently cached) XLA compile.
+
+Fail-open by design: any export/deserialize problem falls back to the plain
+jitted function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_MEM: dict = {}
+
+
+def cache_dir() -> str | None:
+    if os.environ.get("TTS_TPU_NO_COMPILE_CACHE"):
+        return None
+    base = os.environ.get(
+        "TTS_TPU_AOT_DIR",
+        os.path.join(os.environ.get("JAX_CACHE_DIR",
+                                    os.path.expanduser("~/.cache/tts_tpu_jax")),
+                     "aot"))
+    return base
+
+
+def _key(name: str, static_repr: str, args) -> str:
+    import jax
+
+    shapes = ",".join(
+        f"{x.dtype}{list(x.shape)}" if hasattr(x, "shape") else repr(x)
+        for x in jax.tree_util.tree_leaves(args))
+    raw = "|".join([name, static_repr, shapes, jax.__version__,
+                    jax.default_backend()])
+    return name + "-" + hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def call_cached(name: str, static_repr: str, jitted_fn, *args):
+    """Call `jitted_fn(*args)` through the AOT cache.
+
+    `jitted_fn` must be a jax.jit'd callable CLOSED OVER its static arguments
+    (e.g. functools.partial over the jit with cfg/F bound); `args` are the
+    dynamic arguments only.
+    """
+    directory = cache_dir()
+    if directory is None:
+        return jitted_fn(*args)
+    key = _key(name, static_repr, args)
+    fn = _MEM.get(key)
+    if fn is None:
+        import jax
+        import jax.export
+
+        path = os.path.join(directory, key + ".jaxexport")
+        try:
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    exported = jax.export.deserialize(bytearray(f.read()))
+            else:
+                exported = jax.export.export(jitted_fn)(*args)
+                os.makedirs(directory, exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(exported.serialize())
+                os.replace(tmp, path)
+            fn = jax.jit(exported.call)
+        except Exception as e:  # fail open
+            logger.warning("aot cache unavailable for %s (%s); using plain jit",
+                           name, e)
+            fn = jitted_fn
+        _MEM[key] = fn
+    return fn(*args)
