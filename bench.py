@@ -119,6 +119,20 @@ def main():
             break
 
     rtf = gen_s / max(audio_s, 1e-9)
+
+    # throughput RTF: the same battery with 3 requests in flight (the server's
+    # worker model) — tunnel transfer latency overlaps device compute, which
+    # is what a production host (no tunnel) or a loaded server actually sees
+    from concurrent.futures import ThreadPoolExecutor
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(3) as ex:
+        resps = list(ex.map(lambda s: runner.generate(s, config), SENTENCES))
+    tp_wall = time.perf_counter() - t0
+    tp_audio = sum(r.duration_s for r in resps)
+    print(f"throughput (3 in flight): {tp_wall * 1e3:.1f} ms wall for "
+          f"{tp_audio:.1f}s audio -> RTF {tp_wall / tp_audio:.5f}",
+          file=sys.stderr)
+
     if ttfas:
         p50 = sorted(ttfas)[len(ttfas) // 2]
         print(f"p50 time-to-first-audio: {p50:.1f} ms "

@@ -338,6 +338,128 @@ def map_snac(decoder_sd: dict, quantizer_sd: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# DAC (descript-audio-codec decoder + quantizers)
+# ---------------------------------------------------------------------------
+
+DAC_DECODER_PARTS = {
+    "model.0.bias": "initial.bias", "model.0.weight": "initial.weight",
+    "model.1": "decoder_block.1", "model.2": "decoder_block.2",
+    "model.3": "decoder_block.3", "model.4": "decoder_block.4",
+    "model.5.alpha": "final.alpha",
+    "model.6.bias": "final.bias", "model.6.weight": "final.weight",
+}
+DAC_DECODER_BLOCK_PARTS = {
+    "block.2": "residual_unit.0", "block.3": "residual_unit.1",
+    "block.4": "residual_unit.2", "block.0.alpha": "final.alpha",
+    "block.1.bias": "final.bias", "block.1.weight": "final.weight",
+}
+DAC_RESIDUAL_UNIT_PARTS = SNAC_RESIDUAL_UNIT_PARTS  # identical block layout
+
+
+def map_dac(decoder_sd: dict, quantizer_sd: dict,
+            prefix: str = "audio_encoder.") -> dict:
+    """DAC decoder + quantizer state dicts (module-level names like
+    'model.0.weight' / 'quantizers.0.out_proj.weight_g') -> GGUF names
+    (parity: py-gguf dac_gguf_encoder)."""
+    out = {}
+    for name, arr in fold_weight_norms(fold_parametrizations(decoder_sd)).items():
+        parts = name.split(".block")
+        mapped = []
+        for i, part in enumerate(parts):
+            part = f"block{part}" if i > 0 else part
+            table = (DAC_DECODER_PARTS, DAC_DECODER_BLOCK_PARTS,
+                     DAC_RESIDUAL_UNIT_PARTS)[i]
+            if part not in table:
+                mapped = None
+                break
+            mapped.append(table[part])
+        if mapped is not None:
+            out[prefix + ".".join(mapped)] = arr
+    for name, arr in fold_weight_norms(fold_parametrizations(quantizer_sd)).items():
+        if "in_proj" in name:
+            continue                      # encoder-side projection, unused
+        out[prefix + name] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parler-TTS (decoder + precomputed text encoding handled by caller)
+# ---------------------------------------------------------------------------
+
+def map_parler_decoder(sd: dict) -> dict:
+    """ParlerTTSForConditionalGeneration state dict (raw safetensors names,
+    no parler_tts package needed) -> decoder.* GGUF names
+    (parity: py-gguf parler_tts_gguf_encoder.prepare_decoder_tensors)."""
+    out = {}
+    dec_prefix = "decoder.model.decoder."
+    for name, arr in sd.items():
+        if name == "embed_prompts.weight":
+            out["decoder.embed_prompts"] = arr
+        elif name.startswith("decoder.lm_heads.") and name.endswith(".weight"):
+            i = name.split(".")[2]
+            out[f"decoder.lm_heads.{i}.weight.head"] = arr
+        elif name.startswith(dec_prefix):
+            sub = name[len(dec_prefix):]
+            if sub == "embed_positions.weights":
+                out["decoder.positional_embed"] = arr
+            else:
+                out[f"decoder.{sub}"] = arr    # loader names keep .weight/.bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dia (encoder-decoder; DenseGeneral weights reshaped to [out, in])
+# ---------------------------------------------------------------------------
+
+def _dense_general_qkv(arr: np.ndarray) -> np.ndarray:
+    """Dia DenseGeneral q/k/v weight (in, heads, head_dim) -> [out, in]."""
+    return arr.reshape(arr.shape[0], -1).T
+
+
+def _dense_general_o(arr: np.ndarray) -> np.ndarray:
+    """Dia DenseGeneral o weight (heads, head_dim, embed) -> [embed, in]."""
+    return arr.reshape(-1, arr.shape[-1]).T
+
+
+def map_dia(sd: dict) -> dict:
+    """Dia checkpoint state dict ('encoder.*'/'decoder.*' module names) ->
+    dia.* GGUF names (parity: py-gguf dia_gguf_encoder)."""
+    out = {}
+    for name, arr in sd.items():
+        parts = name.split(".")
+        side = parts[0]
+        if side not in ("encoder", "decoder"):
+            continue
+        base = f"dia.{side}"
+        rest = parts[1:]
+        if rest[0] in ("embedding", "norm"):
+            out[f"{base}.{rest[0]}"] = arr
+        elif rest[0] == "embeddings":
+            out[f"{base}.embeddings.{rest[1]}"] = arr
+        elif rest[0] == "logits_dense":
+            for i in range(arr.shape[1]):
+                out[f"{base}.heads.{i}"] = arr[:, i].T
+        elif rest[0] == "layers":
+            nn = f"{base}.layers.{rest[1]}"
+            mod = rest[2]
+            if mod == "mlp" and rest[3] == "wi_fused":
+                out[f"{nn}.gate"] = arr[:, 0].T
+                out[f"{nn}.up"] = arr[:, 1].T
+            elif mod == "mlp":
+                out[f"{nn}.{rest[3]}"] = arr.T
+            elif mod == "self_attention":
+                fn = _dense_general_o if rest[3] == "o_proj" else _dense_general_qkv
+                key = f"self_{rest[3]}" if side == "decoder" else rest[3]
+                out[f"{nn}.{key}"] = fn(arr)
+            elif mod == "cross_attention":
+                fn = _dense_general_o if rest[3] == "o_proj" else _dense_general_qkv
+                out[f"{nn}.cross_{rest[3]}"] = fn(arr)
+            else:
+                out[f"{nn}.{rest[2]}"] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
 # T5 encoder (HF T5EncoderModel)
 # ---------------------------------------------------------------------------
 
@@ -497,6 +619,177 @@ def convert_kokoro(repo: str, out_path: str, voices=None,
     print(f"wrote {out_path} ({len(tensors)} tensors, voices: {', '.join(voices)})")
 
 
+def _load_local_state_dict(path: str) -> dict:
+    """Load a checkpoint directory or file into {name: np.ndarray} without
+    instantiating any model class (works offline, no model packages)."""
+    import glob
+    import os
+
+    import torch
+
+    files = []
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.safetensors"))) or \
+            sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))) or \
+            sorted(glob.glob(os.path.join(path, "*.pth")))
+        if not files:
+            raise SystemExit(f"no checkpoint files found in {path}")
+    else:
+        files = [path]
+    sd = {}
+    for f in files:
+        if f.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            sd.update(load_file(f))
+        else:
+            raw = torch.load(f, map_location="cpu", weights_only=True)
+            if isinstance(raw, dict) and "state_dict" in raw:
+                raw = raw["state_dict"]
+            sd.update({k: v.float().numpy() for k, v in raw.items()})
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def _unigram_vocab_from_tokenizer_json(path: str):
+    import json as _json
+
+    with open(path) as f:
+        tj = _json.load(f)
+    vocab = tj["model"]["vocab"]              # [[token, score], ...]
+    tokens = [t.replace("▁", " ") for t, _ in vocab]
+    scores = [float(s) for _, s in vocab]
+    unk = tj["model"].get("unk_id", 0)
+    return tokens, scores, unk
+
+
+def convert_parler(repo: str, out_path: str, prompt: str = "female voice"):
+    """Parler-TTS -> GGUF from a raw checkpoint (no parler_tts package):
+    decoder + DAC tensors are mapped from the state dict; the conditional
+    text encoding is computed with OUR T5 graph from the checkpoint's own
+    text_encoder weights (parity: prepare_text_encoding_tensors)."""
+    import json as _json
+    import os
+
+    from tts_tpu.core.gguf import GGUFWriter
+
+    sd = _load_local_state_dict(repo)
+    tensors = map_parler_decoder(sd)
+    dec_sd = {k[len("audio_encoder.model.decoder."):]: v for k, v in sd.items()
+              if k.startswith("audio_encoder.model.decoder.")}
+    # module-level names used by the mapper start with 'model.'
+    dec_sd = {f"model.{k}" if not k.startswith("model.") else k: v
+              for k, v in dec_sd.items()}
+    qnt_sd = {k[len("audio_encoder.model.quantizer."):]: v for k, v in sd.items()
+              if k.startswith("audio_encoder.model.quantizer.")}
+    tensors.update(map_dac(dec_sd, qnt_sd))
+
+    with open(os.path.join(repo, "config.json")) as f:
+        config = _json.load(f)
+    dcfg = config["decoder"]
+    acfg = config["audio_encoder"]
+    tcfg = config["text_encoder"]
+
+    tok_json = os.path.join(repo, "tokenizer.json")
+    tokens, scores, unk = _unigram_vocab_from_tokenizer_json(tok_json)
+
+    # conditional prompt -> precomputed T5 encoding with our own graph
+    t5_tensors = map_t5_encoder({k[len("text_encoder."):]: v
+                                 for k, v in sd.items()
+                                 if k.startswith("text_encoder.")})
+    from tts_tpu.models.t5 import T5Config, T5Runner, load_t5_params
+    from tts_tpu.text.tokenizers import UnigramTokenizer
+
+    t5cfg = T5Config(n_layers=tcfg["num_layers"], hidden_size=tcfg["d_model"],
+                     n_attn_heads=tcfg["num_heads"],
+                     vocab_size=tcfg["vocab_size"], output_size=None)
+    tokenizer = UnigramTokenizer({t: i for i, t in enumerate(tokens)}, unk,
+                                 scores, eos_token=tcfg.get("eos_token_id", 1))
+    t5 = T5Runner(t5cfg, load_t5_params(t5_tensors, t5cfg), tokenizer)
+    encoding = t5.encode(prompt)
+    tensors["decoder.text_encoding"] = encoding
+
+    w = GGUFWriter(out_path)
+    kv = {
+        "general.architecture": "parler-tts",
+        "parler-tts.decoder.num_hidden_layers": dcfg["num_hidden_layers"],
+        "parler-tts.decoder.hidden_size": dcfg["hidden_size"],
+        "parler-tts.decoder.attention.head_count": dcfg["num_attention_heads"],
+        "parler-tts.decoder.output_heads": dcfg["num_codebooks"],
+        "parler-tts.decoder.out_vocab_size": dcfg["vocab_size"],
+        "parler-tts.decoder.audio_vocab_size": acfg["codebook_size"],
+        "parler-tts.decoder.context_length": dcfg["max_position_embeddings"],
+        "parler-tts.decoder.max_generation": 2580,
+        "parler-tts.decoder.encode_length": int(encoding.shape[0]),
+        "audio.bos_token_id": dcfg["bos_token_id"],
+        "audio.eos_token_id": dcfg["eos_token_id"],
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.unknown_token_id": unk,
+        "tokenizer.ggml.eos_token_id": tcfg.get("eos_token_id", 1),
+    }
+    for k, v in kv.items():
+        w.add_kv(k, v)
+    for name, arr in tensors.items():
+        w.add_tensor(name, np.asarray(arr, np.float32))
+    w.write()
+    print(f"wrote {out_path} ({len(tensors)} tensors)")
+
+
+def convert_dia(repo: str, out_path: str, dac_path: str):
+    """Dia -> GGUF from a raw checkpoint + a DAC checkpoint (no dia package)."""
+    import json as _json
+    import os
+
+    from tts_tpu.core.gguf import GGUFWriter
+
+    sd = _load_local_state_dict(repo)
+    tensors = map_dia(sd)
+    dac_sd = _load_local_state_dict(dac_path)
+    dec_sd = {k[len("decoder."):]: v for k, v in dac_sd.items()
+              if k.startswith("decoder.")}
+    qnt_sd = {k[len("quantizer."):]: v for k, v in dac_sd.items()
+              if k.startswith("quantizer.")}
+    tensors.update(map_dac(dec_sd, qnt_sd))
+
+    cfg_path = os.path.join(repo, "config.json") if os.path.isdir(repo) else None
+    config = {}
+    if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = _json.load(f)
+    enc = config.get("encoder_config", config.get("model", {}).get("encoder", {}))
+    dec = config.get("decoder_config", config.get("model", {}).get("decoder", {}))
+    g = lambda d, k, default: int(d.get(k, default)) if isinstance(d, dict) else default
+
+    w = GGUFWriter(out_path)
+    kv = {
+        "general.architecture": "dia",
+        "dia.encoder.layers": g(enc, "n_layer", 12),
+        "dia.decoder.layers": g(dec, "n_layer", 18),
+        "dia.encoder.hidden_size": g(enc, "n_embd", 1024),
+        "dia.decoder.hidden_size": g(dec, "n_embd", 2048),
+        "dia.encoder.attn_heads": g(enc, "n_head", 16),
+        "dia.decoder.attn_heads": g(dec, "gqa_query_heads", 16),
+        "dia.decoder.query_heads": g(dec, "gqa_query_heads", 16)
+                                   // max(g(dec, "kv_heads", 4), 1),
+        "dia.attn_head_size": g(enc, "head_dim", 128),
+        "dia.decoder.output_heads": 9,
+        "dia.decoder.output_vocab_size": 1028,
+        "dia.decoder.audio_vocab_size": 1024,
+        "dia.eos_token_id": 1024,
+        "dia.pad_token_id": 1025,
+        "dia.bos_token_id": 1026,
+        "dia.encoder.max_context_length": g(enc, "max_position_embeddings", 1024),
+        "dia.decoder.max_generation_size": 3072,
+        "dia.max_delay": 15,
+        "dia.cfg_scale": 3.0,
+    }
+    for k, v in kv.items():
+        w.add_kv(k, v)
+    for name, arr in tensors.items():
+        w.add_tensor(name, np.asarray(arr, np.float32))
+    w.write()
+    print(f"wrote {out_path} ({len(tensors)} tensors)")
+
+
 def main(argv=None):
     import argparse
 
@@ -507,11 +800,21 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--snac-repo", default=None,
                    help="(orpheus) SNAC codec hub id / local path")
+    p.add_argument("--dac-path", default=None,
+                   help="(dia) DAC codec checkpoint path")
+    p.add_argument("--conditional-prompt", default="female voice",
+                   help="(parler) voice-conditioning prompt to pre-encode")
     args = p.parse_args(argv)
     if args.model == "kokoro":
         convert_kokoro(args.repo, args.out)
     elif args.model == "orpheus":
         convert_orpheus(args.repo, args.out, snac_repo=args.snac_repo)
+    elif args.model == "parler":
+        convert_parler(args.repo, args.out, prompt=args.conditional_prompt)
+    elif args.model == "dia":
+        if not args.dac_path:
+            raise SystemExit("dia conversion requires --dac-path")
+        convert_dia(args.repo, args.out, args.dac_path)
     else:
         raise SystemExit(f"converter for {args.model} not wired to a CLI yet; "
                          "use the mapping functions in this module")
