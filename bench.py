@@ -99,26 +99,32 @@ def main():
     for s in SENTENCES:
         runner.generate(s, config)
 
-    gen_s = 0.0
+    # two passes over the battery; per-sentence RTFs pooled and the MEDIAN
+    # reported — the host<->TPU tunnel adds 25-100 ms of jitter per dispatch
+    # that a mean would let a single bad RPC dominate
+    per_sentence_rtf = []
     audio_s = 0.0
     ttfas = []
-    for s in SENTENCES:
-        t0 = time.perf_counter()
-        resp = runner.generate(s, config)
-        dt = time.perf_counter() - t0
-        gen_s += dt
-        audio_s += resp.duration_s
-        chars_per_s = len(s) / max(resp.duration_s, 1e-9)
-        print(f"  {len(s):3d} chars -> {resp.duration_s:6.2f}s audio "
-              f"({chars_per_s:4.1f} chars/s), {dt * 1e3:8.1f} ms",
-              file=sys.stderr)
-        # TTFA via the streaming path
-        t0 = time.perf_counter()
-        for _ in runner.generate_stream(s, config):
-            ttfas.append((time.perf_counter() - t0) * 1e3)
-            break
+    for p in range(2):
+        for s in SENTENCES:
+            t0 = time.perf_counter()
+            resp = runner.generate(s, config)
+            dt = time.perf_counter() - t0
+            per_sentence_rtf.append(dt / max(resp.duration_s, 1e-9))
+            if p == 0:
+                audio_s += resp.duration_s
+                chars_per_s = len(s) / max(resp.duration_s, 1e-9)
+                print(f"  {len(s):3d} chars -> {resp.duration_s:6.2f}s audio "
+                      f"({chars_per_s:4.1f} chars/s), {dt * 1e3:8.1f} ms",
+                      file=sys.stderr)
+                # TTFA via the streaming path
+                t0 = time.perf_counter()
+                for _ in runner.generate_stream(s, config):
+                    ttfas.append((time.perf_counter() - t0) * 1e3)
+                    break
 
-    rtf = gen_s / max(audio_s, 1e-9)
+    per_sentence_rtf.sort()
+    rtf = per_sentence_rtf[len(per_sentence_rtf) // 2]
 
     # throughput RTF: the same battery with 3 requests in flight (the server's
     # worker model) — tunnel transfer latency overlaps device compute, which

@@ -84,9 +84,13 @@ def test_quantized_weights_stay_int8(tmp_path, qtype):
                         n_kv_attn_heads=kvh, head_size=hd, vocab_size=300)
     with GGUFFile(tmp_path / "q.gguf") as f:
         params = load_orpheus_params(dict(f.tensors), cfg)
-        assert "wq" in params["layers"][0]["q"]
-        assert params["layers"][0]["q"]["wq"].dtype.name == "int8"
-        assert "wq" in params["head"]
+        # Q4 packs two 4-bit values per byte ("wq4"); Q8/Q5 stay int8 ("wq")
+        qkey = "wq4" if qtype == "Q4_0" else "wq"
+        assert qkey in params["layers"][0]["q"]
+        assert params["layers"][0]["q"][qkey].dtype.name == "int8"
+        assert qkey in params["head"]
+        if qtype == "Q4_0":
+            assert params["layers"][0]["q"]["wq4"].shape[0] == hidden // 2
         # quantized forward runs and matches the dequantized-dense path: the
         # int8 view must introduce NO extra error beyond the quantization
         import jax.numpy as jnp

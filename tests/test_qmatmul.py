@@ -77,3 +77,27 @@ def test_pack_q8_weight(tmp_path, rng):
     got = np.asarray(linear(x, p))
     want = x @ wd.T
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-3)
+
+
+def test_q4_packed_matmul_matches_int8(rng):
+    """int4 nibble-packed matmul == int8 path on the same Q4 values."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tts_tpu.ops.qmatmul import (
+        pack_q4_nibbles, quantized_matmul, quantized_matmul_q4)
+
+    K, N, M = 64, 512, 4
+    vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
+    scales = (rng.random((K // 32, N)) * 0.02 + 0.001).astype(np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    a = np.asarray(quantized_matmul(jnp.asarray(x), jnp.asarray(vals),
+                                    jnp.asarray(scales)))
+    packed = pack_q4_nibbles(vals)
+    assert packed.shape == (K // 2, N)
+    b = np.asarray(quantized_matmul_q4(jnp.asarray(x), jnp.asarray(packed),
+                                       jnp.asarray(scales)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    # ragged-tail fallback path too
+    c = np.asarray(quantized_matmul_q4(jnp.asarray(x), jnp.asarray(packed),
+                                       jnp.asarray(scales), tile_n=500))
+    np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-6)

@@ -66,9 +66,11 @@ def test_orpheus_quantize_roundtrip(tmp_path, qtype):
     cfg = GenerationConfig(seed=0, max_tokens=15, voice="zoe", sample=False)
     ref = runner_from_file(str(src)).generate("hi", cfg)
     runner = runner_from_file(str(dst))
-    # tiny linears are %32 in-dim -> quantized dict params (incl. Q5 -> int8)
-    assert "wq" in runner.params["layers"][0]["q"]
-    assert runner.params["layers"][0]["q"]["wq"].dtype.name == "int8"
+    # tiny linears are %32 in-dim -> quantized dict params: Q4 packs to int4
+    # nibbles ("wq4"), Q8/Q5 stay int8 ("wq")
+    qp = runner.params["layers"][0]["q"]
+    qkey = "wq4" if qtype == GGMLType.Q4_0 else "wq"
+    assert qkey in qp and qp[qkey].dtype.name == "int8"
     resp = runner.generate("hi", cfg)
     assert np.isfinite(resp.audio).all()
     n = min(len(resp.audio), len(ref.audio))

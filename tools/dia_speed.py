@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from tts_tpu.models.dia import (
-    DiaConfig, dia_cross_kv, dia_decode_loop, dia_encode, init_dia_cache,
+    DiaConfig, dia_cross_kv, dia_decode_loop, dia_encode, dia_init_loop_state, init_dia_cache,
 )
 from tts_tpu.ops.sampling import init_state
 
@@ -61,9 +61,10 @@ def main():
     for trial in range(2):
         cache = init_dia_cache(cfg)
         t0 = time.time()
-        out, n, cache, s = dia_decode_loop(
-            params, cfg, jnp.asarray(N, jnp.int32), cache, cross,
-            jax.random.PRNGKey(trial), init_state(9))
+        out, n, cache, s, _, _ = dia_decode_loop(
+            params, cfg, jnp.asarray(N, jnp.int32),
+            jnp.asarray(cfg.max_generation_size, jnp.int32), cache, cross,
+            jax.random.PRNGKey(trial), init_state(9), dia_init_loop_state(cfg))
         jax.block_until_ready(out)
         dt = time.time() - t0
         label = "compile+run" if trial == 0 else "warm"

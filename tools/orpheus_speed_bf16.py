@@ -48,7 +48,7 @@ print(f"prefill compile+run: {time.time()-t0:.1f}s")
 sstate = init_state(1)
 N = 200
 t0 = time.time()
-out, n, cache, sstate = orpheus_decode_loop(
+out, n, cache, sstate, _ = orpheus_decode_loop(
     params, cfg, jnp.asarray(0, jnp.int32), jnp.asarray(T, jnp.int32),
     jnp.asarray(N, jnp.int32), cache, jax.random.PRNGKey(1), sstate,
     max_steps=cfg.max_generation_size, do_sample=True, temperature=1.0)
@@ -58,7 +58,7 @@ print(f"decode loop compile+run ({int(n)} steps): {time.time()-t0:.1f}s")
 cache2 = init_kv_cache(cfg)
 logits, cache2 = orpheus_prefill(params, cfg, tokens, jnp.asarray(T, jnp.int32), cache2)
 t0 = time.time()
-out, n, cache2, sstate = orpheus_decode_loop(
+out, n, cache2, sstate, _ = orpheus_decode_loop(
     params, cfg, jnp.asarray(0, jnp.int32), jnp.asarray(T, jnp.int32),
     jnp.asarray(N, jnp.int32), cache2, jax.random.PRNGKey(2), init_state(1),
     max_steps=cfg.max_generation_size, do_sample=True, temperature=1.0)

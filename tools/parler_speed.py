@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from tts_tpu.models.parler import (
-    ParlerConfig, init_kv_cache, parler_decode_loop, parler_prefill,
+    ParlerConfig, init_kv_cache, init_loop_state, parler_decode_loop, parler_prefill,
     precompute_cross_kv,
 )
 from tts_tpu.ops.sampling import init_state
@@ -55,9 +55,9 @@ def main():
 
     N = 200
     t0 = time.time()
-    out, n, cache, s = parler_decode_loop(
+    out, n, cache, s, _, _ = parler_decode_loop(
         params, cfg, jnp.asarray(T, jnp.int32), jnp.asarray(N, jnp.int32),
-        cache, cross, jax.random.PRNGKey(0), init_state(9),
+        cache, cross, jax.random.PRNGKey(0), init_state(9), init_loop_state(cfg),
         max_steps=cfg.max_generation_size)
     jax.block_until_ready(out)
     print(f"decode compile+run ({int(n)} steps): {time.time() - t0:.1f}s")
@@ -66,9 +66,9 @@ def main():
     cache = parler_prefill(params, cfg, tokens, jnp.asarray(T, jnp.int32),
                            cache, cross)
     t0 = time.time()
-    out, n, cache, s = parler_decode_loop(
+    out, n, cache, s, _, _ = parler_decode_loop(
         params, cfg, jnp.asarray(T, jnp.int32), jnp.asarray(N, jnp.int32),
-        cache, cross, jax.random.PRNGKey(1), init_state(9),
+        cache, cross, jax.random.PRNGKey(1), init_state(9), init_loop_state(cfg),
         max_steps=cfg.max_generation_size)
     jax.block_until_ready(out)
     dt = time.time() - t0

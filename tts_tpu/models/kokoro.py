@@ -662,8 +662,9 @@ class KokoroModel:
         self.params = params
         self.window = jnp.asarray(hann_window(cfg.n_fft))
         # running frames-per-token estimate for the fused-dispatch bucket
-        # prediction (voice/style dependent; ~3-8 for real speech)
-        self._frames_per_token = 8.0
+        # prediction (voice/style dependent; ~3-8 for real speech).  None
+        # until the first measurement, which it snaps to directly.
+        self._frames_per_token: float | None = None
         self._fused_jits: dict = {}
 
     def _fused(self, F: int):
@@ -734,7 +735,8 @@ class KokoroModel:
         # predict the frame bucket with ~12% headroom; clamped to the model
         # cap.  Too-tight costs a rare second dispatch; too-loose wastes
         # compute on a bigger bucket every call.
-        predicted = min(int(self._frames_per_token * T * 1.12) + 4,
+        fpt = self._frames_per_token if self._frames_per_token is not None else 8.0
+        predicted = min(int(fpt * T * 1.12) + 4,
                         cfg.max_duration_per_token * T)
         F = pick_bucket(predicted, FRAME_BUCKETS)
 
@@ -750,7 +752,11 @@ class KokoroModel:
         total = int(packed[-1])
         if total <= 0:
             return np.zeros(0, np.float32)
-        self._frames_per_token = 0.7 * self._frames_per_token + 0.3 * (total / T)
+        if self._frames_per_token is None:
+            self._frames_per_token = total / T     # snap to first measurement
+        else:
+            self._frames_per_token = (0.7 * self._frames_per_token
+                                      + 0.3 * (total / T))
         if total > F:
             # prediction too small: re-dispatch at the right bucket (rare)
             F = pick_bucket(total, FRAME_BUCKETS)

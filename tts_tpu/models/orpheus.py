@@ -99,12 +99,16 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
         return arr.astype(dtype) if cast else arr
 
     def lin(name):
-        """Linear weight: {"w": dense [in, out]} or {"wq","scales"} int8."""
+        """Linear weight: {"w": dense [in, out]}, {"wq","scales"} int8
+        (Q8/Q5), or {"wq4","scales"} packed int4 (Q4 — half the HBM bytes
+        of int8; decode is weights-bandwidth-bound)."""
         t = raw(name)
-        if (isinstance(t, GGUFTensor)
-                and t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0)
-                and t.shape[1] % 32 == 0):
-            return pack_q8_weight(t)
+        if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0:
+            if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
+                from tts_tpu.ops.qmatmul import pack_q4_weight
+                return pack_q4_weight(t)
+            if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0):
+                return pack_q8_weight(t)
         return {"w": get(name).T}
 
     p = {
@@ -135,6 +139,10 @@ def orpheus_param_specs(params) -> dict:
     Linear params are dicts ({"w"} dense or {"wq","scales"} int8); both shard
     the output dim for q/k/v/gate/up/head and the input dim for o/down."""
     def lin_spec(p, out_sharded):
+        if "w" not in p:
+            # quantized layers stay replicated under TP: partitioning a
+            # pallas_call (and nibble-packed rows) across GSPMD is untested
+            return {k: P() for k in p}
         spec = P(None, "tp") if out_sharded else P("tp", None)
         return {k: spec for k in p}
 

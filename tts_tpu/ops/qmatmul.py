@@ -87,8 +87,105 @@ def quantized_matmul(x, wq, scales, *, tile_n: int = 256, interpret: bool | None
     )(x, wq, scales)
 
 
+# ---------------------------------------------------------------------------
+# int4-packed path (Q4_0): two 4-bit values per byte, HALF the HBM bytes of
+# the int8 path — AR decode is weights-bandwidth-bound, so this is ~2x fewer
+# weight bytes per step on Q4 checkpoints.
+# Packing: packed[i, n] holds row i in the LOW nibble and row i + K/2 in the
+# HIGH nibble (both signed 4-bit), so unpacking is a concat, not an interleave.
+# ---------------------------------------------------------------------------
+
+def pack_q4_nibbles(values: np.ndarray) -> np.ndarray:
+    """int8 values in [-8, 7], shape [K, N] (K even) -> packed int8 [K//2, N]."""
+    K = values.shape[0]
+    assert K % 2 == 0
+    lo = values[: K // 2].astype(np.int8)
+    hi = values[K // 2 :].astype(np.int8)
+    return ((hi.astype(np.uint8) << 4) | (lo.astype(np.uint8) & 0x0F)).astype(np.int8)
+
+
+def pack_q4_weight(tensor) -> dict:
+    """GGUFTensor (Q4_0, [out, in]) -> {"wq4": int8 [in//2, out],
+    "scales": f32 [in//32, out]} for `quantized_matmul_q4`."""
+    values, scales = tensor.to_int8_scales()
+    out_dim, in_dim = values.shape
+    packed = pack_q4_nibbles(np.ascontiguousarray(values.T))
+    sc = np.ascontiguousarray(scales.reshape(out_dim, in_dim // QBLOCK).T)
+    return {"wq4": jnp.asarray(packed), "scales": jnp.asarray(sc)}
+
+
+def _unpack_nibbles_f32(p32):
+    """packed (as int32) [K/2, N] -> (lo, hi) f32 values, Mosaic-friendly:
+    mask + where for the low nibble; the int8->int32 conversion sign-extends
+    the byte so an arithmetic >>4 yields the signed high nibble directly."""
+    lo = p32 & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.float32)
+    hi = (p32 >> 4).astype(jnp.float32)
+    return lo, hi
+
+
+def _unpack_nibbles(p):
+    """packed int8 [K/2, N] -> int8 values [K, N] (host/XLA fallback path)."""
+    p32 = p.astype(jnp.int32)
+    lo, hi = _unpack_nibbles_f32(p32)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def _qmm4_kernel(x_ref, wq_ref, sc_ref, out_ref):
+    """Two half-dots (rows 0..K/2 in the low nibble, K/2..K in the high one)
+    — avoids concatenating along the sublane axis inside the kernel."""
+    x = x_ref[:].astype(jnp.float32)                # [M, K]
+    p32 = wq_ref[:].astype(jnp.int32)               # [K/2, TILE_N]
+    lo, hi = _unpack_nibbles_f32(p32)
+    sc = sc_ref[:]                                  # [K//32, TILE_N]
+    K2 = p32.shape[0]
+    half_blocks = K2 // QBLOCK
+    sc_lo = jnp.repeat(sc[:half_blocks], QBLOCK, axis=0)
+    sc_hi = jnp.repeat(sc[half_blocks:], QBLOCK, axis=0)
+    out_ref[:] = (jnp.dot(x[:, :K2], lo * sc_lo,
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(x[:, K2:], hi * sc_hi,
+                            preferred_element_type=jnp.float32))
+
+
+def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
+                        interpret: bool | None = None):
+    """x [M, K] @ dequant(packed wq4 [K//2, N], scales [K//32, N]) -> [M, N]."""
+    from jax.experimental import pallas as pl
+
+    if x.ndim == 1:
+        return quantized_matmul_q4(x[None], wq4, scales, tile_n=tile_n,
+                                   interpret=interpret)[0]
+    M, K = x.shape
+    Kh, N = wq4.shape
+    assert Kh * 2 == K and scales.shape == (K // QBLOCK, N)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if N % tile_n != 0:
+        return x.astype(jnp.float32) @ (
+            _unpack_nibbles(wq4).astype(jnp.float32)
+            * jnp.repeat(scales, QBLOCK, axis=0))
+
+    grid = (N // tile_n,)
+    return pl.pallas_call(
+        _qmm4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda i: (0, 0)),
+            pl.BlockSpec((Kh, tile_n), lambda i: (0, i)),
+            pl.BlockSpec((K // QBLOCK, tile_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((M, tile_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+    )(x, wq4, scales)
+
+
 def linear(x, p):
-    """Dense-or-quantized linear: p is {"w": [K, N]} or {"wq", "scales"}."""
+    """Dense-or-quantized linear: p is {"w": [K, N]}, {"wq", "scales"} (int8)
+    or {"wq4", "scales"} (packed int4)."""
+    if "wq4" in p:
+        return quantized_matmul_q4(x, p["wq4"], p["scales"])
     if "wq" in p:
         return quantized_matmul(x, p["wq"], p["scales"])
     w = p["w"]
