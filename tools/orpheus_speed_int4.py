@@ -16,7 +16,8 @@ def q4(K, N):
             "scales": jnp.asarray((rng.random((K//32, N)).astype(np.float32)+.5)*0.01)}
 H = cfg.hidden_size
 params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H))*0.02).astype(np.float32)).astype(jnp.bfloat16),
-          "head": {"w": jnp.asarray((rng.standard_normal((H, cfg.vocab_size))*0.02).astype(np.float32)).astype(jnp.bfloat16)},
+          # tile-padded quantized head, as the real Q4 loader produces
+          "head": q4(H, ((cfg.vocab_size + 255) // 256) * 256),
           "out_norm": jnp.ones(H, jnp.float32),
           "rope_factors": jnp.ones(cfg.head_size // 2, jnp.float32), "layers": []}
 for _ in range(cfg.n_layers):

@@ -101,14 +101,18 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
     def lin(name):
         """Linear weight: {"w": dense [in, out]}, {"wq","scales"} int8
         (Q8/Q5), or {"wq4","scales"} packed int4 (Q4 — half the HBM bytes
-        of int8; decode is weights-bandwidth-bound)."""
+        of int8; decode is weights-bandwidth-bound).  The lm_head's ragged
+        vocab width (156,940) is tile-padded so it runs the Pallas kernel
+        instead of a full dequantize fallback each step; `_head_logits`
+        slices the pad off."""
         t = raw(name)
+        pad_n = name.endswith("lm_head")
         if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0:
             if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
                 from tts_tpu.ops.qmatmul import pack_q4_weight
-                return pack_q4_weight(t)
+                return pack_q4_weight(t, pad_n=pad_n)
             if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0):
-                return pack_q8_weight(t)
+                return pack_q8_weight(t, pad_n=pad_n)
         return {"w": get(name).T}
 
     p = {
@@ -200,6 +204,11 @@ def _rope(x, positions, rope_factors, theta: float):
     return out.astype(x.dtype)
 
 
+def _head_logits(x, params, cfg: OrpheusConfig):
+    """lm_head projection; slices off tile-padding columns (static width)."""
+    return linear(x.astype(jnp.float32), params["head"])[..., : cfg.vocab_size]
+
+
 def init_kv_cache(cfg: OrpheusConfig) -> dict:
     shape = (cfg.n_layers, cfg.cache_length, cfg.n_kv_attn_heads, cfg.head_size)
     return {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
@@ -259,7 +268,7 @@ def orpheus_prefill(params, cfg: OrpheusConfig, tokens, n_valid, cache):
     x, cache = _orpheus_body(params, cfg, tokens, positions, 0, cache)
     # logits at the last valid position
     last = x[n_valid - 1]
-    logits = linear(last.astype(jnp.float32), params["head"])
+    logits = _head_logits(last, params, cfg)
     return logits, cache
 
 
@@ -269,7 +278,7 @@ def orpheus_decode_step(params, cfg: OrpheusConfig, token, pos, cache, key,
                         sampler_state, *, temperature=1.0, top_k: int = 0,
                         top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
     x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
-    logits = linear(x[0].astype(jnp.float32), params["head"])
+    logits = _head_logits(x[0], params, cfg)
     tokens, sampler_state = sample_tokens(
         key, logits[None], sampler_state, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
@@ -298,7 +307,7 @@ def orpheus_decode_loop(params, cfg: OrpheusConfig, first_token, start_pos,
     def body(state):
         i, token, pos, cache, key, sstate, out = state
         x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
-        logits = linear(x[0].astype(jnp.float32), params["head"])
+        logits = _head_logits(x[0], params, cfg)
         key, sub = jax.random.split(key)
         tokens, sstate = sample_tokens(
             sub, logits[None], sstate, temperature=temperature, top_k=top_k,

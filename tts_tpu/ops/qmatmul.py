@@ -23,15 +23,29 @@ import numpy as np
 QBLOCK = 32
 
 
-def pack_q8_weight(tensor) -> dict:
-    """GGUFTensor (Q8_0/Q4_0, shape [out, in]) -> {"wq": int8 [in, out],
-    "scales": f32 [in//32, out]} for `quantized_matmul`."""
+def _pad_n(arr: np.ndarray, tile: int) -> np.ndarray:
+    """Zero-pad the output (last) dim to a tile multiple so the Pallas kernel
+    path applies — a ragged N (e.g. the 156,940-wide Orpheus lm_head) would
+    otherwise silently fall back to a full dequantize-then-matmul every
+    decode step.  Padded columns dequantize to 0; `linear` slices them off."""
+    n = arr.shape[-1]
+    pad = (-n) % tile
+    if pad == 0:
+        return arr
+    return np.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, pad)])
+
+
+def pack_q8_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
+    """GGUFTensor (Q8_0/Q4_0/Q5_0, shape [out, in]) -> {"wq": int8 [in, out],
+    "scales": f32 [in//32, out]} for `quantized_matmul`.  `pad_n` tile-pads
+    the output dim (caller must slice the result back; see the Orpheus head)."""
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
-    wq = jnp.asarray(np.ascontiguousarray(values.T))
-    sc = jnp.asarray(np.ascontiguousarray(
-        scales.reshape(out_dim, in_dim // QBLOCK).T))
-    return {"wq": wq, "scales": sc}
+    wq = np.ascontiguousarray(values.T)
+    sc = np.ascontiguousarray(scales.reshape(out_dim, in_dim // QBLOCK).T)
+    if pad_n:
+        wq, sc = _pad_n(wq, tile_n), _pad_n(sc, tile_n)
+    return {"wq": jnp.asarray(wq), "scales": jnp.asarray(sc)}
 
 
 def _dequant_ref(wq, scales):
@@ -104,13 +118,16 @@ def pack_q4_nibbles(values: np.ndarray) -> np.ndarray:
     return ((hi.astype(np.uint8) << 4) | (lo.astype(np.uint8) & 0x0F)).astype(np.int8)
 
 
-def pack_q4_weight(tensor) -> dict:
+def pack_q4_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
     """GGUFTensor (Q4_0, [out, in]) -> {"wq4": int8 [in//2, out],
-    "scales": f32 [in//32, out]} for `quantized_matmul_q4`."""
+    "scales": f32 [in//32, out]} for `quantized_matmul_q4`.  `pad_n` as in
+    `pack_q8_weight`."""
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
     packed = pack_q4_nibbles(np.ascontiguousarray(values.T))
     sc = np.ascontiguousarray(scales.reshape(out_dim, in_dim // QBLOCK).T)
+    if pad_n:
+        packed, sc = _pad_n(packed, tile_n), _pad_n(sc, tile_n)
     return {"wq4": jnp.asarray(packed), "scales": jnp.asarray(sc)}
 
 
@@ -161,7 +178,8 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
     assert Kh * 2 == K and scales.shape == (K // QBLOCK, N)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if N % tile_n != 0:
+    if N % tile_n != 0 or K % (2 * QBLOCK) != 0:
+        # ragged tail / kernel's half-split needs K % 64 == 0: XLA fallback
         return x.astype(jnp.float32) @ (
             _unpack_nibbles(wq4).astype(jnp.float32)
             * jnp.repeat(scales, QBLOCK, axis=0))
@@ -183,10 +201,11 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
 
 def linear(x, p):
     """Dense-or-quantized linear: p is {"w": [K, N]}, {"wq", "scales"} (int8)
-    or {"wq4", "scales"} (packed int4)."""
+    or {"wq4", "scales"} (packed int4).  A tile-padded weight (pad_n=True at
+    pack time) returns padded columns — the caller slices them off with its
+    static output size."""
     if "wq4" in p:
         return quantized_matmul_q4(x, p["wq4"], p["scales"])
     if "wq" in p:
         return quantized_matmul(x, p["wq"], p["scales"])
-    w = p["w"]
-    return x @ w.astype(x.dtype)
+    return x @ p["w"].astype(x.dtype)
