@@ -84,19 +84,20 @@ def test_quantized_weights_stay_int8(tmp_path, qtype):
                         n_kv_attn_heads=kvh, head_size=hd, vocab_size=300)
     with GGUFFile(tmp_path / "q.gguf") as f:
         params = load_orpheus_params(dict(f.tensors), cfg)
-        # Q4 packs two 4-bit values per byte ("wq4"); Q8/Q5 stay int8 ("wq")
+        # Q4 packs two 4-bit values per byte ("wq4"); Q8/Q5 stay int8 ("wq");
+        # uniform-format q/k/v fuse into one "qkv" Pallas launch
         qkey = "wq4" if qtype == "Q4_0" else "wq"
-        assert qkey in params["layers"][0]["q"]
-        assert params["layers"][0]["q"][qkey].dtype.name == "int8"
+        qkv = params["layers"][0]["qkv"]
+        assert qkey in qkv and qkv[qkey].dtype.name == "int8"
         assert qkey in params["head"]
         if qtype == "Q4_0":
-            assert params["layers"][0]["q"]["wq4"].shape[0] == hidden // 2
+            assert qkv["wq4"].shape[0] == hidden // 2
         # quantized forward runs and matches the dequantized-dense path: the
         # int8 view must introduce NO extra error beyond the quantization
         import jax.numpy as jnp
         from tts_tpu.ops.qmatmul import linear
         x = jnp.asarray(rng.standard_normal((2, hidden)).astype(np.float32))
-        got = np.asarray(linear(x, params["layers"][0]["q"]))
+        got = np.asarray(linear(x, qkv))[:, : heads * hd]   # q slice of qkv
         deq = np.asarray(x) @ f.tensors[f"{L}.self_attn.q_proj"].to_numpy().T
         np.testing.assert_allclose(got, deq, atol=1e-4, rtol=1e-4)
 

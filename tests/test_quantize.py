@@ -67,10 +67,12 @@ def test_orpheus_quantize_roundtrip(tmp_path, qtype):
     ref = runner_from_file(str(src)).generate("hi", cfg)
     runner = runner_from_file(str(dst))
     # tiny linears are %32 in-dim -> quantized dict params: Q4 packs to int4
-    # nibbles ("wq4"), Q8/Q5 stay int8 ("wq")
-    qp = runner.params["layers"][0]["q"]
+    # nibbles ("wq4"), Q8/Q5 stay int8 ("wq"); uniform-format q/k/v fuse into
+    # one "qkv" launch
+    qp = runner.params["layers"][0]["qkv"]
     qkey = "wq4" if qtype == GGMLType.Q4_0 else "wq"
     assert qkey in qp and qp[qkey].dtype.name == "int8"
+    assert "gateup" in runner.params["layers"][0]
     resp = runner.generate("hi", cfg)
     assert np.isfinite(resp.audio).all()
     n = min(len(resp.audio), len(ref.audio))

@@ -22,9 +22,9 @@ params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H))*0.02).as
           "rope_factors": jnp.ones(cfg.head_size // 2, jnp.float32), "layers": []}
 for _ in range(cfg.n_layers):
     params["layers"].append({"in_norm": jnp.ones(H, jnp.float32),
-        "q": q4(H, 3072), "k": q4(H, 1024), "v": q4(H, 1024), "o": q4(3072, H),
+        "qkv": q4(H, 3072 + 1024 + 1024), "o": q4(3072, H),
         "post_norm": jnp.ones(H, jnp.float32),
-        "gate": q4(H, 8192), "up": q4(H, 8192), "down": q4(8192, H)})
+        "gateup": q4(H, 2 * 8192), "down": q4(8192, H)})
 jax.block_until_ready(params)
 T = 64
 tokens = jnp.zeros(T, jnp.int32)

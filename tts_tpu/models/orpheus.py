@@ -115,6 +115,17 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
                 return pack_q8_weight(t, pad_n=pad_n)
         return {"w": get(name).T}
 
+    def fuse(parts):
+        """Concatenate same-format quantized linears along the output dim:
+        one Pallas launch instead of three (per-call overhead is a real cost
+        at 8 quantized matmuls x 28 layers per decode step)."""
+        for key in ("wq", "wq4"):
+            if all(key in part and "w" not in part for part in parts):
+                return {key: jnp.concatenate([part[key] for part in parts], axis=1),
+                        "scales": jnp.concatenate([part["scales"] for part in parts],
+                                                  axis=1)}
+        return None
+
     p = {
         "embd": get("orpheus.embed_tokens"),
         "head": lin("orpheus.lm_head"),
@@ -124,7 +135,7 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
     }
     for l in range(cfg.n_layers):
         L = f"orpheus.layers.{l}"
-        p["layers"].append({
+        layer = {
             "in_norm": get(f"{L}.input_layernorm", cast=False),
             "q": lin(f"{L}.self_attn.q_proj"),
             "k": lin(f"{L}.self_attn.k_proj"),
@@ -134,7 +145,16 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
             "gate": lin(f"{L}.mlp.gate_proj"),
             "up": lin(f"{L}.mlp.up_proj"),
             "down": lin(f"{L}.mlp.down_proj"),
-        })
+        }
+        qkv = fuse([layer["q"], layer["k"], layer["v"]])
+        if qkv is not None:
+            layer["qkv"] = qkv
+            del layer["q"], layer["k"], layer["v"]
+        gateup = fuse([layer["gate"], layer["up"]])
+        if gateup is not None:
+            layer["gateup"] = gateup
+            del layer["gate"], layer["up"]
+        p["layers"].append(layer)
     return p
 
 
@@ -152,8 +172,9 @@ def orpheus_param_specs(params) -> dict:
 
     specs = jax.tree_util.tree_map(lambda _: P(), params)
     for L, Ls in zip(params["layers"], specs["layers"]):
-        for n in ("q", "k", "v", "gate", "up"):
-            Ls[n] = lin_spec(L[n], True)
+        for n in ("q", "k", "v", "gate", "up", "qkv", "gateup"):
+            if n in L:
+                Ls[n] = lin_spec(L[n], True)
         for n in ("o", "down"):
             Ls[n] = lin_spec(L[n], False)
     specs["head"] = lin_spec(params["head"], True)
@@ -241,9 +262,16 @@ def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
     for l, L in enumerate(params["layers"]):
         res = x
         h = _rms(x, L["in_norm"])
-        q = linear(h, L["q"]).astype(x.dtype).reshape(T, Hq, hs)
-        k = linear(h, L["k"]).astype(x.dtype).reshape(T, Hkv, hs)
-        v = linear(h, L["v"]).astype(x.dtype).reshape(T, Hkv, hs)
+        if "qkv" in L:
+            qkv = linear(h, L["qkv"]).astype(x.dtype)
+            q, k, v = jnp.split(qkv, [Hq * hs, (Hq + Hkv) * hs], axis=-1)
+        else:
+            q = linear(h, L["q"]).astype(x.dtype)
+            k = linear(h, L["k"]).astype(x.dtype)
+            v = linear(h, L["v"]).astype(x.dtype)
+        q = q.reshape(T, Hq, hs)
+        k = k.reshape(T, Hkv, hs)
+        v = v.reshape(T, Hkv, hs)
         q = _rope(q, positions, params["rope_factors"], cfg.rope_theta)
         k = _rope(k, positions, params["rope_factors"], cfg.rope_theta)
         new_k = jax.lax.dynamic_update_slice(new_k, k[None].astype(new_k.dtype),
@@ -254,7 +282,12 @@ def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
         x = res + linear(attn, L["o"]).astype(x.dtype)
         res = x
         h = _rms(x, L["post_norm"])
-        h = jax.nn.silu(linear(h, L["gate"])) * linear(h, L["up"])
+        if "gateup" in L:
+            gu = linear(h, L["gateup"])
+            gate, up = jnp.split(gu, 2, axis=-1)
+            h = jax.nn.silu(gate) * up
+        else:
+            h = jax.nn.silu(linear(h, L["gate"])) * linear(h, L["up"])
         h = linear(h.astype(x.dtype), L["down"]).astype(x.dtype)
         x = res + h
     x = _rms(x, params["out_norm"])
