@@ -146,12 +146,18 @@ def main():
     print(f"mean audio per sentence: {audio_s / len(SENTENCES):.2f}s "
           f"(natural speech ~ {sum(map(len, SENTENCES)) / len(SENTENCES) / 15:.1f}s)",
           file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "kokoro_rtf",
         "value": round(rtf, 6),
         "unit": "s_generation_per_s_audio",
         "vs_baseline": round(rtf / BASELINE_RTF, 6),
-    }))
+        # capacity metric: same chip, 3 requests in flight (server worker
+        # model) — per-dispatch tunnel latency overlaps device compute
+        "throughput_rtf_3_in_flight": round(tp_wall / tp_audio, 6),
+    }
+    if ttfas:
+        out["p50_ttfa_ms"] = round(sorted(ttfas)[len(ttfas) // 2], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
