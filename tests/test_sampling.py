@@ -71,3 +71,20 @@ def test_multi_head_independent():
     toks, _ = sample_tokens(jax.random.PRNGKey(3), logits, init_state(2),
                             temperature=0.05)
     np.testing.assert_array_equal(np.asarray(toks), [0, 1])
+
+
+def test_use_top_p_false_matches_top_p_one(rng):
+    """Statically skipping the nucleus filter (use_top_p=False) draws the
+    same tokens as top_p=1.0 through the filter — the filter is a no-op at
+    1.0, it just costs a full [H, V] sort per step."""
+    import jax
+    import jax.numpy as jnp
+    from tts_tpu.ops.sampling import init_state, sample_tokens
+
+    logits = jnp.asarray(rng.standard_normal((3, 257)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    a, sa = sample_tokens(key, logits, init_state(3), temperature=0.8,
+                          top_k=13, top_p=1.0, use_top_p=True)
+    b, sb = sample_tokens(key, logits, init_state(3), temperature=0.8,
+                          top_k=13, top_p=1.0, use_top_p=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -35,7 +35,9 @@ for trial, N in [(1, 100), (2, 200), (3, 200)]:
     t0=time.time()
     out, n, cache, s, _ = orpheus_decode_loop(params, cfg, jnp.asarray(0, jnp.int32),
         jnp.asarray(T, jnp.int32), jnp.asarray(N, jnp.int32), cache,
-        jax.random.PRNGKey(trial), init_state(1), max_steps=cfg.max_generation_size)
+        jax.random.PRNGKey(trial), init_state(1), max_steps=cfg.max_generation_size,
+        do_sample=(os.environ.get("GREEDY") != "1"),
+        use_top_p=(os.environ.get("TOPP") == "1"))
     jax.block_until_ready((out, n))
     dt = time.time()-t0
     o = np.asarray(out)

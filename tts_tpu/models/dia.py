@@ -256,12 +256,13 @@ def dia_init_loop_state(cfg: DiaConfig):
             jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
+@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample", "use_top_p"),
          donate_argnames=("cache",))
 def dia_decode_loop(params, cfg: DiaConfig, limit, budget, cache, cross_kv,
                     key, sampler_state, loop_state, *, temperature=1.0,
                     top_k: int = 0, top_p=1.0, repetition_penalty=1.0,
-                    do_sample: bool = True):
+                    do_sample: bool = True,
+                        use_top_p: bool = True):
     """CFG decode with the EOS delay-drain in one dispatch (parity:
     generate_from_batch + check_stopping, dia/model.cpp:806-870).
     `budget` caps this dispatch's steps; `loop_state` (dia_init_loop_state or
@@ -284,7 +285,7 @@ def dia_decode_loop(params, cfg: DiaConfig, limit, budget, cache, cross_kv,
         sampled, sstate = sample_tokens(
             sub, merged, sstate, temperature=temperature, top_k=top_k,
             top_p=top_p, repetition_penalty=repetition_penalty,
-            do_sample=do_sample)
+            do_sample=do_sample, use_top_p=use_top_p)
         out = out.at[step].set(sampled)
         pos = pos + 1
         nxt = jnp.where(pos > head_idx, sampled, cfg.bos_token_id).astype(jnp.int32)
@@ -396,7 +397,7 @@ class DiaRunner(TTSRunner):
                     sampler_state, loop_state, temperature=config.temperature,
                     top_k=config.top_k, top_p=config.top_p,
                     repetition_penalty=config.repetition_penalty,
-                    do_sample=config.sample)
+                    do_sample=config.sample, use_top_p=config.top_p < 1.0)
             n = int(n_steps)
             done = int(loop_state[1]) == 0        # drain finished
             outputs = np.concatenate([outputs, np.asarray(out_tokens)[:n]])
@@ -429,7 +430,7 @@ class DiaRunner(TTSRunner):
             temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
             repetition_penalty=config.repetition_penalty,
-            do_sample=config.sample)
+            do_sample=config.sample, use_top_p=config.top_p < 1.0)
         n_steps = int(n_steps)
         outputs = np.asarray(out_tokens)[:n_steps]
         self._cache = cache

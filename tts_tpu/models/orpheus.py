@@ -305,25 +305,28 @@ def orpheus_prefill(params, cfg: OrpheusConfig, tokens, n_valid, cache):
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample"),
+@partial(jax.jit, static_argnames=("cfg", "top_k", "do_sample", "use_top_p"),
          donate_argnames=("cache",))
 def orpheus_decode_step(params, cfg: OrpheusConfig, token, pos, cache, key,
                         sampler_state, *, temperature=1.0, top_k: int = 0,
-                        top_p=1.0, repetition_penalty=1.0, do_sample: bool = True):
+                        top_p=1.0, repetition_penalty=1.0, do_sample: bool = True,
+                        use_top_p: bool = True):
     x, cache = _orpheus_body(params, cfg, token[None], pos[None], pos, cache)
     logits = _head_logits(x[0], params, cfg)
     tokens, sampler_state = sample_tokens(
         key, logits[None], sampler_state, temperature=temperature, top_k=top_k,
-        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample,
+        use_top_p=use_top_p)
     return tokens[0], cache, sampler_state
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_steps", "top_k", "do_sample"),
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "top_k", "do_sample", "use_top_p"),
          donate_argnames=("cache",))
 def orpheus_decode_loop(params, cfg: OrpheusConfig, first_token, start_pos,
                         limit, cache, key, sampler_state, *, max_steps: int,
                         temperature=1.0, top_k: int = 0, top_p=1.0,
-                        repetition_penalty=1.0, do_sample: bool = True):
+                        repetition_penalty=1.0, do_sample: bool = True,
+                        use_top_p: bool = True):
     """Whole AR generation in ONE dispatch: a `lax.while_loop` that decodes up
     to `limit` (<= static max_steps) tokens on device, stopping at the stop
     token.  Per-step host round-trips (15-50 ms each over the host<->TPU link)
@@ -345,7 +348,7 @@ def orpheus_decode_loop(params, cfg: OrpheusConfig, first_token, start_pos,
         tokens, sstate = sample_tokens(
             sub, logits[None], sstate, temperature=temperature, top_k=top_k,
             top_p=top_p, repetition_penalty=repetition_penalty,
-            do_sample=do_sample)
+            do_sample=do_sample, use_top_p=use_top_p)
         out = out.at[i].set(tokens[0])
         return (i + 1, tokens[0], pos + 1, cache, key, sstate, out)
 
@@ -417,7 +420,7 @@ class OrpheusRunner(TTSRunner):
         first, sampler_state = sample_tokens(
             sub, logits[None], sampler_state, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
-            repetition_penalty=config.repetition_penalty, do_sample=config.sample)
+            repetition_penalty=config.repetition_penalty, do_sample=config.sample, use_top_p=config.top_p < 1.0)
         outputs = [int(first[0])]
         pos = T
         max_steps = min(config.max_tokens or cfg.max_generation_size,
@@ -431,7 +434,7 @@ class OrpheusRunner(TTSRunner):
                 cache, key, sampler_state, max_steps=cfg.max_generation_size,
                 temperature=config.temperature, top_k=config.top_k,
                 top_p=config.top_p, repetition_penalty=config.repetition_penalty,
-                do_sample=config.sample)
+                do_sample=config.sample, use_top_p=config.top_p < 1.0)
             n = int(n)
             new = [int(t) for t in np.asarray(toks)[:n]]
             # the carried token was already emitted; decode_loop re-decodes it
@@ -497,7 +500,7 @@ class OrpheusRunner(TTSRunner):
         first, sampler_state = sample_tokens(
             sub, logits[None], sampler_state, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
-            repetition_penalty=config.repetition_penalty, do_sample=config.sample)
+            repetition_penalty=config.repetition_penalty, do_sample=config.sample, use_top_p=config.top_p < 1.0)
 
         max_steps = min(config.max_tokens or cfg.max_generation_size,
                         cfg.max_generation_size)
@@ -508,7 +511,7 @@ class OrpheusRunner(TTSRunner):
             max_steps=cfg.max_generation_size,
             temperature=config.temperature, top_k=config.top_k,
             top_p=config.top_p, repetition_penalty=config.repetition_penalty,
-            do_sample=config.sample)
+            do_sample=config.sample, use_top_p=config.top_p < 1.0)
         n = int(n_generated)
         outputs = [int(first[0])] + [int(t) for t in np.asarray(tokens_arr)[:n]]
         self._cache = cache

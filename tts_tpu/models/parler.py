@@ -210,12 +210,13 @@ def parler_prefill(params, cfg: ParlerConfig, tokens, n_valid, cache, cross_kv,
     return cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_cross", "top_k", "do_sample"),
+@partial(jax.jit, static_argnames=("cfg", "use_cross", "top_k", "do_sample", "use_top_p"),
          donate_argnames=("cache",))
 def parler_decode_step(params, cfg: ParlerConfig, audio_tokens, pos, cache,
                        cross_kv, key, sampler_state, *, use_cross: bool = True,
                        temperature=1.0, top_k: int = 0, top_p=1.0,
-                       repetition_penalty=1.0, do_sample: bool = True):
+                       repetition_penalty=1.0, do_sample: bool = True,
+                        use_top_p: bool = True):
     """One AR step: audio_tokens [9] -> sampled [9] + logits row."""
     embds = jnp.stack(params["embds"])           # [9, vocab, hidden]
     x = jnp.sum(embds[jnp.arange(cfg.n_output_heads), audio_tokens], axis=0)
@@ -227,7 +228,8 @@ def parler_decode_step(params, cfg: ParlerConfig, audio_tokens, pos, cache,
     logits = jnp.einsum("d,hdv->hv", x[0], heads)
     tokens, sampler_state = sample_tokens(
         key, logits, sampler_state, temperature=temperature, top_k=top_k,
-        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample,
+        use_top_p=use_top_p)
     return tokens, cache, sampler_state
 
 
@@ -240,13 +242,14 @@ def init_loop_state(cfg: ParlerConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_steps", "use_cross", "top_k",
-                                   "do_sample"),
+                                   "do_sample", "use_top_p"),
          donate_argnames=("cache",))
 def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
                        cross_kv, key, sampler_state, loop_state, *,
                        max_steps: int, use_cross: bool = True, temperature=1.0,
                        top_k: int = 0, top_p=1.0, repetition_penalty=1.0,
-                       do_sample: bool = True):
+                       do_sample: bool = True,
+                        use_top_p: bool = True):
     """The 9-head AR loop in one dispatch: BOS-delay staircase, per-head EOS
     tracking, and stop-when-all-heads-done run on device (parity:
     generate_from_batch, parler/model.cpp:762-793).  `loop_state` (from
@@ -273,7 +276,7 @@ def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
         sampled, sstate = sample_tokens(
             sub, logits, sstate, temperature=temperature, top_k=top_k,
             top_p=top_p, repetition_penalty=repetition_penalty,
-            do_sample=do_sample)
+            do_sample=do_sample, use_top_p=use_top_p)
         out = out.at[step].set(sampled)
         eos_seen = eos_seen | (sampled == cfg.eos_token_id)
         nxt = jnp.where(gstep + 1 > head_idx,
@@ -390,7 +393,7 @@ class ParlerRunner(TTSRunner):
                     use_cross=use_cross, temperature=config.temperature,
                     top_k=config.top_k, top_p=config.top_p,
                     repetition_penalty=config.repetition_penalty,
-                    do_sample=config.sample)
+                    do_sample=config.sample, use_top_p=config.top_p < 1.0)
             n = int(n_steps)
             done = n < budget                     # all heads hit EOS
             outputs = np.concatenate([outputs, np.asarray(out_tokens)[:n]])
@@ -422,7 +425,7 @@ class ParlerRunner(TTSRunner):
             use_cross=use_cross, temperature=config.temperature,
             top_k=config.top_k, top_p=config.top_p,
             repetition_penalty=config.repetition_penalty,
-            do_sample=config.sample)
+            do_sample=config.sample, use_top_p=config.top_p < 1.0)
         n_steps = int(n_steps)
         outputs = np.asarray(out_tokens)[:n_steps]
 

@@ -25,15 +25,18 @@ def init_state(n_heads: int) -> dict:
             "count": jnp.zeros((n_heads,), jnp.int32)}
 
 
-@partial(jax.jit, static_argnames=("top_k", "do_sample"))
+@partial(jax.jit, static_argnames=("top_k", "do_sample", "use_top_p"))
 def sample_tokens(key, logits, state, *, temperature: float | jax.Array = 1.0,
                   top_k: int = 0, top_p: float | jax.Array = 1.0,
                   repetition_penalty: float | jax.Array = 1.0,
-                  do_sample: bool = True):
+                  do_sample: bool = True, use_top_p: bool = True):
     """logits [H, V] -> (tokens [H] int32, new_state).
 
     temperature/top_p/repetition_penalty may be traced scalars so one compiled
-    step serves any config; top_k and do_sample are static.
+    step serves any config; top_k, do_sample, and use_top_p are static.
+    `use_top_p=False` statically removes the nucleus filter — a FULL [H, V]
+    sort per step (multi-ms at llama-3's 157k vocab) that a traced
+    top_p == 1.0 cannot elide.
     """
     H, V = logits.shape
     logits = logits.astype(jnp.float32)
@@ -53,15 +56,17 @@ def sample_tokens(key, logits, state, *, temperature: float | jax.Array = 1.0,
 
         probs = jax.nn.softmax(logits, axis=-1)
 
-        # nucleus: keep the smallest prefix of the sorted probs with
-        # cumsum >= top_p (inclusive, sampler.cpp topp semantics)
-        tp = jnp.asarray(top_p, jnp.float32)
-        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-        cum = jnp.cumsum(sorted_probs, axis=-1)
-        keep_sorted = (cum - sorted_probs) < tp                        # [H, V]
-        thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1)
-        probs = jnp.where(probs >= thresh[:, None], probs, 0.0)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        if use_top_p:
+            # nucleus: keep the smallest prefix of the sorted probs with
+            # cumsum >= top_p (inclusive, sampler.cpp topp semantics)
+            tp = jnp.asarray(top_p, jnp.float32)
+            sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+            cum = jnp.cumsum(sorted_probs, axis=-1)
+            keep_sorted = (cum - sorted_probs) < tp                    # [H, V]
+            thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf),
+                             axis=-1)
+            probs = jnp.where(probs >= thresh[:, None], probs, 0.0)
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
         tokens = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
         tokens = tokens.astype(jnp.int32)
