@@ -48,9 +48,10 @@ def test_conv1d_matches_torch(rng, stride, padding, dilation, groups):
 
 @pytest.mark.parametrize("stride,padding,output_padding,groups", [
     (1, 0, 0, 1), (2, 1, 0, 1), (10, 5, 0, 1), (2, 1, 1, 1), (2, 1, 0, 4),
+    (2, 1, 1, 8),   # depthwise (groups == C): the kokoro AdaIN pool shape
 ])
 def test_conv_transpose1d_matches_torch(rng, stride, padding, output_padding, groups):
-    cin, cout, k, t = 8, 12, 6, 21
+    cin, cout, k, t = 8, (8 if groups == 8 else 12), 6, 21
     x = rng.standard_normal((t, cin)).astype(np.float32)
     w = rng.standard_normal((cin, cout // groups, k)).astype(np.float32)
     b = rng.standard_normal(cout).astype(np.float32)

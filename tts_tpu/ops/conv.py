@@ -46,29 +46,34 @@ def conv_transpose1d(x, w, b=None, *, stride: int = 1, padding: int = 0,
     x: [T, C_in], w: [C_in, C_out/groups, K] (torch layout) -> [T_out, C_out]
     T_out = (T-1)*stride - 2*padding + dilation*(K-1) + 1 + output_padding
     """
-    if groups != 1:
-        xs = jnp.split(x, groups, axis=1)
-        ws = jnp.split(w, groups, axis=0)
-        outs = [conv_transpose1d(xi, wi, stride=stride, padding=padding,
-                                 output_padding=output_padding, dilation=dilation)
-                for xi, wi in zip(xs, ws)]
-        out = jnp.concatenate(outs, axis=1)
-        return out + b if b is not None else out
-
     k = w.shape[-1]
-    # transposed conv == lhs-dilated conv with flipped kernel
+    # transposed conv == lhs-dilated conv with flipped kernel.  Grouped case
+    # (incl. depthwise, groups == C) stays ONE XLA conv via
+    # feature_group_count — a per-group Python split would emit C separate
+    # convs into the graph (measured: the depthwise pool in kokoro's AdaIN
+    # blocks alone added ~512 ops per block).
+    # torch layout [C_in, C_out/g, K] -> forward-conv layout [C_out, C_in/g, K]
+    c_in = w.shape[0]
+    wf = jnp.flip(w, -1)
+    if groups == 1:
+        wf = wf.transpose(1, 0, 2)
+    else:
+        wf = wf.reshape(groups, c_in // groups, w.shape[1], k)
+        wf = wf.transpose(0, 2, 1, 3).reshape(groups * w.shape[1],
+                                              c_in // groups, k)
     lhs = x.T[None]                      # [1, C_in, T]
     eff_k = dilation * (k - 1) + 1
     pad_lo = eff_k - 1 - padding
     pad_hi = eff_k - 1 - padding + output_padding
     out = lax.conv_general_dilated(
         lhs,
-        jnp.flip(w, -1).transpose(1, 0, 2).astype(x.dtype),   # -> [C_out, C_in, K]
+        wf.astype(x.dtype),
         window_strides=(1,),
         padding=[(pad_lo, pad_hi)],
         lhs_dilation=(stride,),
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
         preferred_element_type=x.dtype,
     )
     out = out[0].T
