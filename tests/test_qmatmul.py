@@ -79,6 +79,44 @@ def test_pack_q8_weight(tmp_path, rng):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-3)
 
 
+def test_qmv_decode_path_matches_ref(rng):
+    """M == 1 block-diagonal decode kernel == ref, incl. multi-K-chunk
+    accumulation (K=4096 forces kt=2048 -> 2 chunks under the VMEM budget)."""
+    from tts_tpu.ops.qmatmul import _pick_tiles
+
+    for K, N in [(512, 512), (4096, 1024)]:
+        wq = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
+        sc = jnp.asarray((rng.random((K // QBLOCK, N)) * 0.02 + 1e-3)
+                         .astype(np.float32))
+        x = rng.standard_normal((1, K)).astype(np.float32)
+        assert _pick_tiles(K, N) is not None   # the decode path is taken
+        got = np.asarray(quantized_matmul(jnp.asarray(x), wq, sc,
+                                          interpret=True))
+        want = np.asarray(quantized_matmul_ref(
+            jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32), wq, sc))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_qmv4_decode_path_matches_unpacked(rng):
+    """M == 1 int4 decode kernel == int8 path on the same values, incl. the
+    high-nibble scale offset across multiple packed-K chunks."""
+    from tts_tpu.ops.qmatmul import (
+        _pick_tiles, pack_q4_nibbles, quantized_matmul_q4)
+
+    for K, N in [(1024, 1024), (4096, 1024)]:
+        vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
+        sc = (rng.random((K // QBLOCK, N)) * 0.02 + 1e-3).astype(np.float32)
+        x = rng.standard_normal((1, K)).astype(np.float32)
+        assert _pick_tiles(K // 2, N, max_bytes=1 << 20) is not None
+        got = np.asarray(quantized_matmul_q4(
+            jnp.asarray(x), jnp.asarray(pack_q4_nibbles(vals)),
+            jnp.asarray(sc), interpret=True))
+        xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                        .astype(jnp.float32))
+        want = xb @ (vals.astype(np.float32) * np.repeat(sc, QBLOCK, axis=0))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_q4_packed_matmul_matches_int8(rng):
     """int4 nibble-packed matmul == int8 path on the same Q4 values."""
     import numpy as np

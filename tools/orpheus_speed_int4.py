@@ -13,7 +13,7 @@ rng = np.random.default_rng(0)
 def q4(K, N):
     vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
     return {"wq4": jnp.asarray(pack_q4_nibbles(vals)),
-            "scales": jnp.asarray((rng.random((K//32, N)).astype(np.float32)+.5)*0.01)}
+            "scales": jnp.asarray(((rng.random((K//32, N))+.5)*0.01).astype(np.float16))}
 H = cfg.hidden_size
 params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H))*0.02).astype(np.float32)).astype(jnp.bfloat16),
           # tile-padded quantized head, as the real Q4 loader produces
@@ -38,7 +38,8 @@ for trial, N in [(1, 100), (2, 200), (3, 200)]:
         jax.random.PRNGKey(trial), init_state(1), max_steps=cfg.max_generation_size,
         do_sample=(os.environ.get("GREEDY") != "1"),
         use_top_p=(os.environ.get("TOPP") == "1"))
-    jax.block_until_ready((out, n))
+    n_host = int(np.asarray(n))      # transfer forces completion (axon
+    # block_until_ready is unreliable under tunnel degradation)
     dt = time.time()-t0
     o = np.asarray(out)
-    print(f"N={N}: n={int(n)} dt={dt:.3f}s -> {int(n)/max(dt,1e-9):.1f} tok/s; uniq={len(np.unique(o[:int(n)]))}")
+    print(f"N={N}: n={n_host} dt={dt:.3f}s -> {n_host/max(dt,1e-9):.1f} tok/s; uniq={len(np.unique(o[:n_host]))}")

@@ -37,12 +37,16 @@ def _pad_n(arr: np.ndarray, tile: int) -> np.ndarray:
 
 def pack_q8_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
     """GGUFTensor (Q8_0/Q4_0/Q5_0, shape [out, in]) -> {"wq": int8 [in, out],
-    "scales": f32 [in//32, out]} for `quantized_matmul`.  `pad_n` tile-pads
-    the output dim (caller must slice the result back; see the Orpheus head)."""
+    "scales": f16 [in//32, out]} for `quantized_matmul`.  Scales stay f16 —
+    the GGUF block `d` IS f16, so this is lossless and halves the scale bytes
+    streamed per decode step (~190 MB/step on the 3B at f32).  `pad_n`
+    tile-pads the output dim (caller must slice the result back; see the
+    Orpheus head)."""
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
     wq = np.ascontiguousarray(values.T)
-    sc = np.ascontiguousarray(scales.reshape(out_dim, in_dim // QBLOCK).T)
+    sc = np.ascontiguousarray(
+        scales.reshape(out_dim, in_dim // QBLOCK).T).astype(np.float16)
     if pad_n:
         wq, sc = _pad_n(wq, tile_n), _pad_n(sc, tile_n)
     return {"wq": jnp.asarray(wq), "scales": jnp.asarray(sc)}
@@ -50,7 +54,7 @@ def pack_q8_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
 
 def _dequant_ref(wq, scales):
     K, N = wq.shape
-    s = jnp.repeat(scales, QBLOCK, axis=0)        # [K, N]
+    s = jnp.repeat(scales.astype(jnp.float32), QBLOCK, axis=0)        # [K, N]
     return wq.astype(jnp.float32) * s
 
 
@@ -63,10 +67,71 @@ def _qmm_kernel(x_ref, wq_ref, sc_ref, out_ref):
     """One [K, TILE_N] stripe: dequant in VMEM, single MXU dot."""
     x = x_ref[:].astype(jnp.float32)              # [M, K]
     wq = wq_ref[:]                                 # [K, TILE_N] int8
-    sc = sc_ref[:]                                 # [K//32, TILE_N] f32
+    sc = sc_ref[:].astype(jnp.float32)             # [K//32, TILE_N]
     K = wq.shape[0]
     w = wq.astype(jnp.float32) * jnp.repeat(sc, QBLOCK, axis=0)
     out_ref[:] = jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _qmv_kernel(xd_ref, wq_ref, sc_ref, out_ref):
+    """Decode (M == 1) stripe, restructured to keep the VPU off the critical
+    path: the per-32-block scale structure moves into the dot's M dimension.
+
+    `xd` is the block-diagonal expansion of the activation row — xd[b, k] =
+    x[k] when k is in scale block b, else 0 — so ONE MXU matmul produces all
+    per-block partial sums p[b, n] (K/32 <= 128 rows ride the same systolic
+    pass a single row would), and the group scales apply at [K/32, TILE]
+    granularity: ~1/16 VPU op per weight instead of ~3 (dequant-into-f32 was
+    VPU-bound at 3B weights/step; this keeps the kernel HBM-bound).  The only
+    per-weight op left is the int8->bf16 convert feeding the MXU (int8 values
+    are exact in bf16's 8-bit mantissa).
+
+    Grid is (N tiles, K chunks) with K innermost: the output tile stays
+    resident while partial sums accumulate, and the K chunking keeps the
+    double-buffered weight tiles inside the ~16 MB VMEM budget for large K."""
+    from jax.experimental import pallas as pl
+
+    i_k = pl.program_id(1)
+    xd = xd_ref[:]                                 # [KT//32, KT] bf16 (diag chunk)
+    w = wq_ref[:].astype(jnp.bfloat16)             # [KT, TILE_N]
+    p = jnp.dot(xd, w, preferred_element_type=jnp.float32)   # [KT//32, TILE_N]
+    part = jnp.sum(p * sc_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i_k == 0)
+    def _init():
+        out_ref[:] = part
+
+    @pl.when(i_k > 0)
+    def _acc():
+        out_ref[:] = out_ref[:] + part
+
+
+def _block_diag_x(x, kt: int | None = None):
+    """[1, K] -> [K//32, kt] bf16: row b holds x's scale-block b in its
+    32-wide window within b's K-chunk of width `kt` (kt == K gives the plain
+    block-diagonal).  Chunk i of the kernel grid reads rows
+    [i*kt/32, (i+1)*kt/32) — the compact form of the block-diagonal's
+    diagonal chunks."""
+    K = x.shape[-1]
+    if kt is None:
+        kt = K
+    B, bpc = K // QBLOCK, kt // QBLOCK
+    cols = jnp.arange(kt, dtype=jnp.int32)[None, :] // QBLOCK    # [1, kt]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None] % bpc         # [B, 1]
+    xr = jnp.repeat(x.reshape(K // kt, kt), bpc, axis=0)         # [B, kt]
+    return jnp.where(cols == rows, xr.astype(jnp.bfloat16), 0)
+
+
+def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21):
+    """(kt, tn) for the decode kernels: both divide their dims, the weight
+    tile stays under `max_bytes` so Pallas double-buffering fits VMEM."""
+    tn = next((t for t in (1024, 512, 256) if N % t == 0), None)
+    if tn is None:
+        return None
+    for kt in (8192, 6144, 4096, 3072, 2048, 1536, 1024, 512, 256):
+        if kt <= K and K % kt == 0 and kt * tn <= max_bytes:
+            return kt, tn
+    return None
 
 
 def quantized_matmul(x, wq, scales, *, tile_n: int = 256, interpret: bool | None = None):
@@ -86,6 +151,23 @@ def quantized_matmul(x, wq, scales, *, tile_n: int = 256, interpret: bool | None
         # the models, so this path is rare)
         return quantized_matmul_ref(x, wq, scales)
 
+    # decode fast path: K/32 partial-sum rows ride the MXU almost for free
+    # (up to a couple of 128-row passes); K chunks keep VMEM bounded
+    tiles = _pick_tiles(K, N) if M == 1 else None
+    if tiles is not None:
+        kt, tn = tiles
+        return pl.pallas_call(
+            _qmv_kernel,
+            grid=(N // tn, K // kt),
+            in_specs=[
+                pl.BlockSpec((kt // QBLOCK, kt), lambda j, i: (i, 0)),
+                pl.BlockSpec((kt, tn), lambda j, i: (i, j)),
+                pl.BlockSpec((kt // QBLOCK, tn), lambda j, i: (i, j)),
+            ],
+            out_specs=pl.BlockSpec((M, tn), lambda j, i: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            interpret=interpret,
+        )(_block_diag_x(x, kt), wq, scales)
     grid = (N // tile_n,)
     return pl.pallas_call(
         _qmm_kernel,
@@ -125,7 +207,8 @@ def pack_q4_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
     packed = pack_q4_nibbles(np.ascontiguousarray(values.T))
-    sc = np.ascontiguousarray(scales.reshape(out_dim, in_dim // QBLOCK).T)
+    sc = np.ascontiguousarray(
+        scales.reshape(out_dim, in_dim // QBLOCK).T).astype(np.float16)
     if pad_n:
         packed, sc = _pad_n(packed, tile_n), _pad_n(sc, tile_n)
     return {"wq4": jnp.asarray(packed), "scales": jnp.asarray(sc)}
@@ -154,7 +237,7 @@ def _qmm4_kernel(x_ref, wq_ref, sc_ref, out_ref):
     x = x_ref[:].astype(jnp.float32)                # [M, K]
     p32 = wq_ref[:].astype(jnp.int32)               # [K/2, TILE_N]
     lo, hi = _unpack_nibbles_f32(p32)
-    sc = sc_ref[:]                                  # [K//32, TILE_N]
+    sc = sc_ref[:].astype(jnp.float32)              # [K//32, TILE_N]
     K2 = p32.shape[0]
     half_blocks = K2 // QBLOCK
     sc_lo = jnp.repeat(sc[:half_blocks], QBLOCK, axis=0)
@@ -163,6 +246,41 @@ def _qmm4_kernel(x_ref, wq_ref, sc_ref, out_ref):
                           preferred_element_type=jnp.float32)
                   + jnp.dot(x[:, K2:], hi * sc_hi,
                             preferred_element_type=jnp.float32))
+
+
+def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
+    """Decode (M == 1) int4 stripe with the block-diag restructure of
+    `_qmv_kernel`: per-nibble-plane block-diag activations -> two MXU dots ->
+    group scales applied at [K/32, TILE] granularity.  VPU work is the nibble
+    unpack + bf16 convert (~3 ops/weight), overlapped with the HBM stream.
+
+    Grid is (N tiles, packed-K chunks) with K innermost (accumulating output
+    tile).  Chunking also bounds the block-diag MXU waste, which grows with
+    the dot's K width.  A packed chunk holds original rows [c*kth, c*kth+kth)
+    in the low nibble and the same range offset by K/2 in the high nibble, so
+    the SAME scales array is passed twice with index maps offset by K/(2*kth)
+    chunk-rows — no special scale layout needed."""
+    from jax.experimental import pallas as pl
+
+    i_k = pl.program_id(1)
+    p32 = wq_ref[:].astype(jnp.int32)               # [KTH, TILE]
+    lo, hi = _unpack_nibbles_f32(p32)
+    p_lo = jnp.dot(xdlo_ref[:], lo.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)   # [KTH/32, TILE]
+    p_hi = jnp.dot(xdhi_ref[:], hi.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    part = (jnp.sum(p_lo * sclo_ref[:].astype(jnp.float32), axis=0,
+                    keepdims=True)
+            + jnp.sum(p_hi * schi_ref[:].astype(jnp.float32), axis=0,
+                      keepdims=True))
+
+    @pl.when(i_k == 0)
+    def _init():
+        out_ref[:] = part
+
+    @pl.when(i_k > 0)
+    def _acc():
+        out_ref[:] = out_ref[:] + part
 
 
 def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
@@ -182,8 +300,29 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
         # ragged tail / kernel's half-split needs K % 64 == 0: XLA fallback
         return x.astype(jnp.float32) @ (
             _unpack_nibbles(wq4).astype(jnp.float32)
-            * jnp.repeat(scales, QBLOCK, axis=0))
+            * jnp.repeat(scales.astype(jnp.float32), QBLOCK, axis=0))
 
+    tiles = _pick_tiles(K // 2, N, max_bytes=1 << 20) if M == 1 else None
+    if tiles is not None:
+        kth, tn = tiles
+        hi_off = K // (2 * kth)        # chunk-row offset of the high-nibble
+        xlo = _block_diag_x(x[:, : K // 2], kth)     # [K/64, KTH]
+        xhi = _block_diag_x(x[:, K // 2 :], kth)
+        return pl.pallas_call(
+            _qmv4_kernel,
+            grid=(N // tn, Kh // kth),
+            in_specs=[
+                pl.BlockSpec((kth // QBLOCK, kth), lambda j, i: (i, 0)),
+                pl.BlockSpec((kth // QBLOCK, kth), lambda j, i: (i, 0)),
+                pl.BlockSpec((kth // QBLOCK, tn), lambda j, i: (i, j)),
+                pl.BlockSpec((kth // QBLOCK, tn),
+                             lambda j, i: (i + hi_off, j)),
+                pl.BlockSpec((kth, tn), lambda j, i: (i, j)),
+            ],
+            out_specs=pl.BlockSpec((M, tn), lambda j, i: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            interpret=interpret,
+        )(xlo, xhi, scales, scales, wq4)
     grid = (N // tile_n,)
     return pl.pallas_call(
         _qmm4_kernel,

@@ -34,6 +34,28 @@ def cache_dir() -> str | None:
     return base
 
 
+_CODE_FP: str | None = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of every .py in the tts_tpu package: a stale exported artifact
+    from an older graph version must never be served after a code change
+    (the export bakes in the traced computation, not just shapes)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import tts_tpu
+
+        h = hashlib.sha256()
+        pkg = os.path.dirname(tts_tpu.__file__)
+        for root, _, files in sorted(os.walk(pkg)):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
 def _key(name: str, static_repr: str, args) -> str:
     import jax
 
@@ -41,7 +63,7 @@ def _key(name: str, static_repr: str, args) -> str:
         f"{x.dtype}{list(x.shape)}" if hasattr(x, "shape") else repr(x)
         for x in jax.tree_util.tree_leaves(args))
     raw = "|".join([name, static_repr, shapes, jax.__version__,
-                    jax.default_backend()])
+                    jax.default_backend(), _code_fingerprint()])
     return name + "-" + hashlib.sha256(raw.encode()).hexdigest()[:16]
 
 
