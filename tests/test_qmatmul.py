@@ -79,6 +79,33 @@ def test_pack_q8_weight(tmp_path, rng):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-3)
 
 
+def test_f16_bits_decode_exact(rng):
+    """uint16 raw-f16-bit scales decode to f32 EXACTLY (incl. subnormals,
+    +-0) — the production scale layout adds no error over the GGUF f16 `d`."""
+    from tts_tpu.ops.qmatmul import _f16_bits_to_f32, _scales_f32
+
+    vals = np.concatenate([
+        rng.standard_normal(256).astype(np.float16),
+        (rng.standard_normal(64) * 1e-7).astype(np.float16),   # subnormals
+        np.asarray([0.0, -0.0, 6.1e-5, -5.96e-8, 65504.0], np.float16),
+    ])
+    bits = jnp.asarray(vals.view(np.uint16).reshape(1, -1))
+    got = np.asarray(_f16_bits_to_f32(bits))[0]
+    np.testing.assert_array_equal(got, vals.astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(_scales_f32(bits))[0],
+                                  vals.astype(np.float32))
+
+
+def test_pack_scales_roundtrip(rng):
+    """pack_q8_weight's uint16 scales reproduce the f32 dequant exactly."""
+    wq, sc, wd = make_q8(rng, 64, 96)
+    from tts_tpu.ops.qmatmul import _pack_scales, _scales_f32
+    packed = jnp.asarray(_pack_scales(np.asarray(sc)))
+    assert packed.dtype == jnp.uint16
+    np.testing.assert_array_equal(np.asarray(_scales_f32(packed)),
+                                  np.asarray(sc))
+
+
 def test_qmv_decode_path_matches_ref(rng):
     """M == 1 block-diagonal decode kernel == ref, incl. multi-K-chunk
     accumulation (K=4096 forces kt=2048 -> 2 chunks under the VMEM budget)."""

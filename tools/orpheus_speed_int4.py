@@ -13,7 +13,7 @@ rng = np.random.default_rng(0)
 def q4(K, N):
     vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
     return {"wq4": jnp.asarray(pack_q4_nibbles(vals)),
-            "scales": jnp.asarray(((rng.random((K//32, N))+.5)*0.01).astype(np.float16))}
+            "scales": jnp.asarray(((rng.random((K//32, N))+.5)*0.01).astype(np.float16).view(np.uint16))}
 H = cfg.hidden_size
 params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H))*0.02).astype(np.float32)).astype(jnp.bfloat16),
           # tile-padded quantized head, as the real Q4 loader produces

@@ -10,7 +10,7 @@ cfg = OrpheusConfig()
 rng = np.random.default_rng(0)
 def q(K, N):
     return {"wq": jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8)),
-            "scales": jnp.asarray(((rng.random((K//32, N))+.5)*0.005).astype(np.float16))}
+            "scales": jnp.asarray(((rng.random((K//32, N))+.5)*0.005).astype(np.float16).view(np.uint16))}
 H = cfg.hidden_size
 params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H))*0.02).astype(np.float32)).astype(jnp.bfloat16),
           "head": {"w": jnp.asarray((rng.standard_normal((H, cfg.vocab_size))*0.02).astype(np.float32)).astype(jnp.bfloat16)},

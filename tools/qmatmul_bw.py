@@ -71,7 +71,7 @@ def main():
     for K, N in shapes:
         x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
         wq = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
-        sc = jnp.asarray((rng.random((K // 32, N)) * 0.01).astype(np.float16))
+        sc = jnp.asarray(((rng.random((K // 32, N)) * 0.01).astype(np.float16)).view(np.uint16))
         wq4 = jnp.asarray(rng.integers(-128, 127, (K // 2, N)).astype(np.int8))
         wbf = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32)).astype(jnp.bfloat16)
 

@@ -37,24 +37,54 @@ def _pad_n(arr: np.ndarray, tile: int) -> np.ndarray:
 
 def pack_q8_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
     """GGUFTensor (Q8_0/Q4_0/Q5_0, shape [out, in]) -> {"wq": int8 [in, out],
-    "scales": f16 [in//32, out]} for `quantized_matmul`.  Scales stay f16 —
-    the GGUF block `d` IS f16, so this is lossless and halves the scale bytes
-    streamed per decode step (~190 MB/step on the 3B at f32).  `pad_n`
-    tile-pads the output dim (caller must slice the result back; see the
-    Orpheus head)."""
+    "scales": uint16 [in//32, out]} for `quantized_matmul`.  Scales ship as
+    their RAW f16 bit patterns — the GGUF block `d` IS f16, so this is exact
+    (the int8 view adds no error beyond the quantization itself) and halves
+    the scale bytes streamed per decode step (~190 MB/step on the 3B vs
+    f32).  Mosaic rejects f16 operands, so the kernels decode the bits with
+    integer ops (`_f16_bits_to_f32`).  `pad_n` tile-pads the output dim
+    (caller must slice the result back; see the Orpheus head)."""
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
     wq = np.ascontiguousarray(values.T)
-    sc = np.ascontiguousarray(
-        scales.reshape(out_dim, in_dim // QBLOCK).T).astype(np.float16)
+    sc = _pack_scales(scales.reshape(out_dim, in_dim // QBLOCK).T)
     if pad_n:
         wq, sc = _pad_n(wq, tile_n), _pad_n(sc, tile_n)
     return {"wq": jnp.asarray(wq), "scales": jnp.asarray(sc)}
 
 
+def _pack_scales(scales: np.ndarray) -> np.ndarray:
+    """f32 scales (exact f16 round-trips — GGUF stores `d` as f16) -> their
+    raw f16 bit patterns as uint16: half the HBM bytes, zero precision loss."""
+    return np.ascontiguousarray(scales).astype(np.float16).view(np.uint16)
+
+
+def _f16_bits_to_f32(sc):
+    """uint16 f16 bit patterns -> f32, exact, using only integer ops +
+    bitcast (Mosaic rejects f16 typed operands).  Subnormal encodings
+    (absmax < ~6e-5 blocks) decode correctly; inf/nan never occur in
+    quantization scales."""
+    b = sc.astype(jnp.int32) & 0xFFFF
+    sign = (b & 0x8000) << 16
+    exp = (b >> 10) & 0x1F
+    man = b & 0x3FF
+    normal = jax.lax.bitcast_convert_type(
+        sign | ((exp + 112) << 23) | (man << 13), jnp.float32)
+    sub = jnp.where(sign != 0, -1.0, 1.0) * man.astype(jnp.float32) * (2.0 ** -24)
+    return jnp.where(exp == 0, sub, normal)
+
+
+def _scales_f32(scales):
+    """Decode scales to f32 wherever they're consumed: uint16 = raw f16 bits
+    (production layout), anything else = a float array (tests, ad-hoc use)."""
+    if scales.dtype == jnp.uint16:
+        return _f16_bits_to_f32(scales)
+    return scales.astype(jnp.float32)
+
+
 def _dequant_ref(wq, scales):
     K, N = wq.shape
-    s = jnp.repeat(scales.astype(jnp.float32), QBLOCK, axis=0)        # [K, N]
+    s = jnp.repeat(_scales_f32(scales), QBLOCK, axis=0)        # [K, N]
     return wq.astype(jnp.float32) * s
 
 
@@ -67,7 +97,7 @@ def _qmm_kernel(x_ref, wq_ref, sc_ref, out_ref):
     """One [K, TILE_N] stripe: dequant in VMEM, single MXU dot."""
     x = x_ref[:].astype(jnp.float32)              # [M, K]
     wq = wq_ref[:]                                 # [K, TILE_N] int8
-    sc = sc_ref[:].astype(jnp.float32)             # [K//32, TILE_N]
+    sc = _scales_f32(sc_ref[:])                    # [K//32, TILE_N]
     K = wq.shape[0]
     w = wq.astype(jnp.float32) * jnp.repeat(sc, QBLOCK, axis=0)
     out_ref[:] = jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -95,7 +125,7 @@ def _qmv_kernel(xd_ref, wq_ref, sc_ref, out_ref):
     xd = xd_ref[:]                                 # [KT//32, KT] bf16 (diag chunk)
     w = wq_ref[:].astype(jnp.bfloat16)             # [KT, TILE_N]
     p = jnp.dot(xd, w, preferred_element_type=jnp.float32)   # [KT//32, TILE_N]
-    part = jnp.sum(p * sc_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+    part = jnp.sum(p * _scales_f32(sc_ref[:]), axis=0, keepdims=True)
 
     @pl.when(i_k == 0)
     def _init():
@@ -207,8 +237,7 @@ def pack_q4_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
     packed = pack_q4_nibbles(np.ascontiguousarray(values.T))
-    sc = np.ascontiguousarray(
-        scales.reshape(out_dim, in_dim // QBLOCK).T).astype(np.float16)
+    sc = _pack_scales(scales.reshape(out_dim, in_dim // QBLOCK).T)
     if pad_n:
         packed, sc = _pad_n(packed, tile_n), _pad_n(sc, tile_n)
     return {"wq4": jnp.asarray(packed), "scales": jnp.asarray(sc)}
@@ -237,7 +266,7 @@ def _qmm4_kernel(x_ref, wq_ref, sc_ref, out_ref):
     x = x_ref[:].astype(jnp.float32)                # [M, K]
     p32 = wq_ref[:].astype(jnp.int32)               # [K/2, TILE_N]
     lo, hi = _unpack_nibbles_f32(p32)
-    sc = sc_ref[:].astype(jnp.float32)              # [K//32, TILE_N]
+    sc = _scales_f32(sc_ref[:])                     # [K//32, TILE_N]
     K2 = p32.shape[0]
     half_blocks = K2 // QBLOCK
     sc_lo = jnp.repeat(sc[:half_blocks], QBLOCK, axis=0)
@@ -269,10 +298,8 @@ def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
                    preferred_element_type=jnp.float32)   # [KTH/32, TILE]
     p_hi = jnp.dot(xdhi_ref[:], hi.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
-    part = (jnp.sum(p_lo * sclo_ref[:].astype(jnp.float32), axis=0,
-                    keepdims=True)
-            + jnp.sum(p_hi * schi_ref[:].astype(jnp.float32), axis=0,
-                      keepdims=True))
+    part = (jnp.sum(p_lo * _scales_f32(sclo_ref[:]), axis=0, keepdims=True)
+            + jnp.sum(p_hi * _scales_f32(schi_ref[:]), axis=0, keepdims=True))
 
     @pl.when(i_k == 0)
     def _init():
@@ -300,7 +327,7 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
         # ragged tail / kernel's half-split needs K % 64 == 0: XLA fallback
         return x.astype(jnp.float32) @ (
             _unpack_nibbles(wq4).astype(jnp.float32)
-            * jnp.repeat(scales.astype(jnp.float32), QBLOCK, axis=0))
+            * jnp.repeat(_scales_f32(scales), QBLOCK, axis=0))
 
     tiles = _pick_tiles(K // 2, N, max_bytes=1 << 20) if M == 1 else None
     if tiles is not None:
