@@ -67,6 +67,48 @@ def test_flash_decode_int8_kv(rng):
     np.testing.assert_allclose(got, again, rtol=3e-2, atol=3e-2)
 
 
+def test_flash_decode_dyn_matches_einsum(rng):
+    """Variable-length (manual-DMA) kernel == fixed-grid reference at every
+    chunk-boundary edge, with the head-major cache layout."""
+    from tts_tpu.ops.attention import gqa_decode_attention_dyn
+
+    Hq, Hkv, hs, S = 12, 4, 128, 3 * S_CHUNK
+    q = rng.standard_normal((Hq, hs)).astype(np.float32)
+    k = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
+    v = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
+    km = jnp.asarray(k, jnp.bfloat16).transpose(1, 0, 2)     # [Hkv, S, hs]
+    vm = jnp.asarray(v, jnp.bfloat16).transpose(1, 0, 2)
+    for pos in (0, S_CHUNK - 1, S_CHUNK, 2 * S_CHUNK + 5, S - 1):
+        got = np.asarray(gqa_decode_attention_dyn(
+            jnp.asarray(q), km, vm, pos, interpret=True))
+        want = einsum_ref(
+            np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)),
+            np.asarray(jnp.asarray(k).astype(jnp.bfloat16).astype(jnp.float32)),
+            np.asarray(jnp.asarray(v).astype(jnp.bfloat16).astype(jnp.float32)),
+            pos)
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_flash_decode_dyn_int8(rng):
+    from tts_tpu.ops.attention import gqa_decode_attention_dyn
+
+    Hq, Hkv, hs, S = 24, 8, 128, 2 * S_CHUNK
+    pos = S_CHUNK + 33
+    q = rng.standard_normal((Hq, hs)).astype(np.float32)
+    k = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
+    v = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
+    kq, ks = quantize_kv(jnp.asarray(k))
+    vq, vs = quantize_kv(jnp.asarray(v))
+    got = np.asarray(gqa_decode_attention_dyn(
+        jnp.asarray(q), kq.transpose(1, 0, 2), vq.transpose(1, 0, 2), pos,
+        k_scale=jnp.asarray(ks).T.reshape(Hkv, S),
+        v_scale=jnp.asarray(vs).T.reshape(Hkv, S), interpret=True))
+    kd = np.asarray(kq, np.float32) * np.asarray(ks)[:, :, None]
+    vd = np.asarray(vq, np.float32) * np.asarray(vs)[:, :, None]
+    want = einsum_ref(q, kd, vd, pos)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_quantize_kv_roundtrip(rng):
     x = rng.standard_normal((5, 8, 128)).astype(np.float32) * 3.0
     x[2, 3] = 0.0                       # zero vector -> scale 0, exact zeros

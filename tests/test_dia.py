@@ -67,3 +67,30 @@ def test_generate_stream_matches_generate(runner):
               else np.zeros(0, np.float32))
     assert stream.shape == full.audio.shape
     np.testing.assert_allclose(stream, full.audio, atol=2e-5, rtol=0)
+
+
+def test_quantized_dia_stays_int8(tmp_path):
+    """Q4 dia: quantizable decoder linears stay packed int4/int8 on device,
+    the cache switches to bf16, and generation still runs end-to-end."""
+    import jax.numpy as jnp
+
+    from tts_tpu.apps.quantize import QuantizationParams, quantize_gguf
+    from tts_tpu.core.gguf import GGMLType
+    from tts_tpu.models.dia import dia_params_quantized
+
+    f32 = tmp_path / "dia_f32.gguf"
+    q4 = tmp_path / "dia_q4.gguf"
+    # dims chosen so decoder projections meet the kernel tile constraints
+    # (out % 256 == 0, in % 32 == 0)
+    write_dia_gguf(f32, dec_hidden=256, ffn=256, dec_heads=4, query_heads=2,
+                   head_size=64, enc_hidden=32)
+    quantize_gguf(str(f32), str(q4), QuantizationParams(GGMLType.Q4_0))
+
+    runner = runner_from_file(str(q4))
+    assert dia_params_quantized(runner.params)
+    assert runner.cfg.kv_dtype == "bfloat16"
+    L0 = runner.params["decoder"]["layers"][0]
+    assert "wq4" in L0["sa_q"] and L0["sa_q"]["wq4"].dtype == jnp.int8
+    assert L0["sa_q"]["scales"].dtype == jnp.uint16
+    resp = runner.generate("[S1] hi there.", GenerationConfig(seed=0, max_tokens=20))
+    assert np.isfinite(resp.audio).all()

@@ -54,8 +54,8 @@ def test_orpheus_matches_transformers_llama():
     with torch.no_grad():
         want = hf(torch.tensor(ids[None].astype(np.int64))).logits[0].numpy()
 
-    cache = {"k": jnp.zeros((2, cfg.cache_length, 2, 16), jnp.float32),
-             "v": jnp.zeros((2, cfg.cache_length, 2, 16), jnp.float32)}
+    cache = {"k": jnp.zeros((2, 2, cfg.cache_length, 16), jnp.float32),
+             "v": jnp.zeros((2, 2, cfg.cache_length, 16), jnp.float32)}
 
     @jax.jit
     def fwd(params, tokens, positions, cache):
@@ -159,8 +159,8 @@ def test_orpheus_converter_cli_offline(tmp_path):
     ids = np.arange(5, 5 + T).astype(np.int32)
     with torch.no_grad():
         want = hf(torch.tensor(ids[None].astype(np.int64))).logits[0].numpy()
-    cache = {"k": jnp.zeros((2, cfg.cache_length, 2, 16), jnp.float32),
-             "v": jnp.zeros((2, cfg.cache_length, 2, 16), jnp.float32)}
+    cache = {"k": jnp.zeros((2, 2, cfg.cache_length, 16), jnp.float32),
+             "v": jnp.zeros((2, 2, cfg.cache_length, 16), jnp.float32)}
 
     @jax.jit
     def fwd(params, tokens, positions, cache):

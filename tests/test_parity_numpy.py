@@ -352,10 +352,12 @@ def test_orpheus_forward_parity():
     T = 12
     tokens = rng.integers(0, 512, T).astype(np.int32)
     positions = np.arange(T)
-    cache = {"k": jnp.zeros((cfg.n_layers, cfg.cache_length, cfg.n_kv_attn_heads,
-                             cfg.head_size), jnp.float32),
-             "v": jnp.zeros((cfg.n_layers, cfg.cache_length, cfg.n_kv_attn_heads,
-                             cfg.head_size), jnp.float32)}
+    # jitted cache is head-major [L, Hkv, S, hs] (flash-decode layout); the
+    # independent NumPy path keeps position-major and the compare transposes
+    cache = {"k": jnp.zeros((cfg.n_layers, cfg.n_kv_attn_heads,
+                             cfg.cache_length, cfg.head_size), jnp.float32),
+             "v": jnp.zeros((cfg.n_layers, cfg.n_kv_attn_heads,
+                             cfg.cache_length, cfg.head_size), jnp.float32)}
 
     @jax.jit
     def fwd(params, tokens, positions, cache):
@@ -372,7 +374,8 @@ def test_orpheus_forward_parity():
     logits_n = npr.orpheus_forward(pn, cfg, tokens, positions, 0,
                                    cache_k, cache_v)
     _assert_close(logits_j, logits_n, what="orpheus logits")
-    _assert_close(cache_j["k"][:, :T], cache_k[:, :T], what="orpheus K cache")
+    _assert_close(np.asarray(cache_j["k"])[:, :, :T].transpose(0, 2, 1, 3),
+                  cache_k[:, :T], what="orpheus K cache")
 
 
 # ---------------------------------------------------------------------------

@@ -8,7 +8,12 @@ from tts_tpu.models.orpheus import (OrpheusConfig, init_kv_cache, orpheus_prefil
 from tts_tpu.ops.sampling import init_state
 from tts_tpu.ops.qmatmul import pack_q4_nibbles
 
+import dataclasses
 cfg = OrpheusConfig()
+if os.environ.get("TTS_TPU_ORPHEUS_KV", "").lower() == "int8":
+    cfg = dataclasses.replace(cfg, kv_quant=True)
+if os.environ.get("NO_FLASH") == "1":
+    cfg = dataclasses.replace(cfg, use_flash_attn=False)
 rng = np.random.default_rng(0)
 def q4(K, N):
     vals = rng.integers(-8, 8, (K, N)).astype(np.int8)

@@ -68,7 +68,8 @@ cache = init_kv_cache(cfg)
 pos = jnp.asarray(200, jnp.int32)
 key = jax.random.PRNGKey(0)
 sstate = init_state(1)
-mask0 = jnp.zeros((1, 1, 1, cfg.cache_length), jnp.float32)
+from tts_tpu.models.orpheus import padded_cache_length
+mask0 = jnp.zeros((1, 1, 1, padded_cache_length(cfg)), jnp.float32)
 
 
 @jax.jit

@@ -51,6 +51,11 @@ class DiaConfig:
     max_delay: int = 15
     delay_pattern: tuple = (0, 8, 9, 10, 11, 12, 13, 14, 15)
     cfg_scale: float = 3.0
+    # KV/cross cache storage: f32 for dense checkpoints (bit-exact with the
+    # NumPy parity path); the loader switches to bfloat16 when the decoder
+    # weights are quantized (cache noise << weight quantization noise, half
+    # the per-step cache bytes)
+    kv_dtype: str = "float32"
 
     @property
     def kv_heads(self) -> int:
@@ -82,11 +87,36 @@ class DiaConfig:
 
 
 def load_dia_params(tensors: dict, cfg: DiaConfig) -> dict:
+    """Decoder linears keep GGUF Q8/Q5/Q4 weights int8/int4 on device (the
+    per-step decode reads ~5 GB of f32 weights otherwise — the decode loop is
+    weight-bandwidth-bound exactly like Orpheus; parity:
+    /root/reference/src/models/dia/model.cpp decoder walk).  Dense (f32/f16)
+    checkpoints load unchanged, so the NumPy parity harness still sees
+    bit-identical math."""
+    from tts_tpu.core.gguf import GGMLType, GGUFTensor
+    from tts_tpu.ops.qmatmul import pack_q4_weight, pack_q8_weight
+
     def get(name):
         t = tensors.get(name)
         if t is None:
             raise KeyError(f"dia: missing tensor {name}")
+        if isinstance(t, GGUFTensor):
+            t = t.to_numpy()
         return jnp.asarray(np.asarray(t, np.float32))
+
+    def lin(name):
+        """Decoder linear: dense -> transposed f32 array (legacy layout);
+        quantized -> {"wq"/"wq4", "scales"} dict for `ops.qmatmul.linear`."""
+        t = tensors.get(name)
+        if t is None:
+            raise KeyError(f"dia: missing tensor {name}")
+        if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0 \
+                and t.shape[0] % 256 == 0:
+            if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
+                return pack_q4_weight(t)
+            if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q5_0):
+                return pack_q8_weight(t)
+        return get(name).T
 
     enc = {"embedding": get("dia.encoder.embedding"),
            "norm": get("dia.encoder.norm"), "layers": []}
@@ -107,17 +137,37 @@ def load_dia_params(tensors: dict, cfg: DiaConfig) -> dict:
     for i in range(cfg.n_decoder_layers):
         L = f"dia.decoder.layers.{i}"
         dec["layers"].append({
-            "sa_q": get(f"{L}.self_q_proj").T, "sa_k": get(f"{L}.self_k_proj").T,
-            "sa_v": get(f"{L}.self_v_proj").T, "sa_o": get(f"{L}.self_o_proj").T,
-            "ca_q": get(f"{L}.cross_q_proj").T, "ca_k": get(f"{L}.cross_k_proj").T,
-            "ca_v": get(f"{L}.cross_v_proj").T, "ca_o": get(f"{L}.cross_o_proj").T,
+            "sa_q": lin(f"{L}.self_q_proj"), "sa_k": lin(f"{L}.self_k_proj"),
+            "sa_v": lin(f"{L}.self_v_proj"), "sa_o": lin(f"{L}.self_o_proj"),
+            "ca_q": lin(f"{L}.cross_q_proj"), "ca_k": lin(f"{L}.cross_k_proj"),
+            "ca_v": lin(f"{L}.cross_v_proj"), "ca_o": lin(f"{L}.cross_o_proj"),
             "sa_norm": get(f"{L}.pre_sa_norm"),
             "ca_norm": get(f"{L}.pre_ca_norm"),
             "mlp_norm": get(f"{L}.pre_mlp_norm"),
-            "gate": get(f"{L}.gate").T, "up": get(f"{L}.up").T,
-            "wo": get(f"{L}.wo").T,
+            "gate": lin(f"{L}.gate"), "up": lin(f"{L}.up"),
+            "wo": lin(f"{L}.wo"),
         })
     return {"encoder": enc, "decoder": dec}
+
+
+def dia_params_quantized(params) -> bool:
+    """True if any decoder linear kept its GGUF quantization on device (the
+    loader then uses a bf16 KV/cross cache — the cache noise is far below the
+    weight quantization noise, and it halves the per-step cache traffic)."""
+    return any(isinstance(L[n], dict)
+               for L in params["decoder"]["layers"]
+               for n in ("sa_q", "gate"))
+
+
+def _lin(x, p):
+    """x [..., K] through a decoder linear: dense f32 array (x @ p) or a
+    quantized dict routed to the Pallas int8/int4 matmul."""
+    if isinstance(p, dict):
+        from tts_tpu.ops.qmatmul import linear
+        lead = x.shape[:-1]
+        out = linear(x.reshape(-1, x.shape[-1]), p)
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    return x @ p
 
 
 def _rms(x, w, eps: float = 1e-5):
@@ -174,20 +224,22 @@ def dia_cross_kv(params, cfg: DiaConfig, enc_states, n_valid):
     positions = jnp.arange(T)
     valid = (positions < n_valid).astype(enc_states.dtype)[None, :, None]
     H, hs = cfg.decoder_attn_heads, cfg.head_size
+    dt = jnp.dtype(cfg.kv_dtype)
     ks, vs = [], []
     for L in params["decoder"]["layers"]:
-        k = (enc_states @ L["ca_k"]).reshape(2, T, H, hs)
+        k = _lin(enc_states, L["ca_k"]).reshape(2, T, H, hs)
         k = _rope(k, positions) * valid[..., None]
-        v = (enc_states @ L["ca_v"]).reshape(2, T, H, hs)
-        ks.append(k)
-        vs.append(v)
+        v = _lin(enc_states, L["ca_v"]).reshape(2, T, H, hs)
+        ks.append(k.astype(dt))
+        vs.append(v.astype(dt))
     return {"k": jnp.stack(ks), "v": jnp.stack(vs)}       # [L, 2, T, H, hs]
 
 
 def init_dia_cache(cfg: DiaConfig) -> dict:
     shape = (cfg.n_decoder_layers, 2, cfg.max_generation_size, cfg.kv_heads,
              cfg.head_size)
-    return {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
+    dt = jnp.dtype(cfg.kv_dtype)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
 
 def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
@@ -207,9 +259,9 @@ def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
     for l, L in enumerate(dec["layers"]):
         res = x
         h = _rms(x, L["sa_norm"])
-        q = (h @ L["sa_q"]).reshape(B, 1, Hq, hs)
-        k = (h @ L["sa_k"]).reshape(B, 1, Hkv, hs)
-        v = (h @ L["sa_v"]).reshape(B, 1, Hkv, hs)
+        q = _lin(h, L["sa_q"]).reshape(B, 1, Hq, hs)
+        k = _lin(h, L["sa_k"]).reshape(B, 1, Hkv, hs)
+        v = _lin(h, L["sa_v"]).reshape(B, 1, Hkv, hs)
         q = _rope(q, positions)
         k = _rope(k, positions)
         # k/v are [B=2, T=1, Hkv, hs] == the (batch, position-slice) layout of
@@ -217,27 +269,34 @@ def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
         # round-1 transpose here wrote the uncond batch row into the cond
         # batch's NEXT POSITION, leaving batch 1's cache zero — found by the
         # numpy parity harness (tests/test_parity_numpy.py::test_dia_steps_parity).
-        new_k = jax.lax.dynamic_update_slice(new_k, k[None], (l, 0, pos, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(new_v, v[None], (l, 0, pos, 0, 0))
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(new_k.dtype), (l, 0, pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(new_v.dtype), (l, 0, pos, 0, 0))
         qg = q.reshape(B, 1, Hkv, group, hs)
         ck_all = new_k[l]                       # [B, P, Hkv, hs]
         cv_all = new_v[l]
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, ck_all) + self_mask
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg,
+                            ck_all.astype(jnp.float32)) + self_mask
         w = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum("bhgqk,bkhd->bqhgd", w, cv_all).reshape(B, 1, Hq * hs)
-        x = res + attn @ L["sa_o"]
+        attn = jnp.einsum("bhgqk,bkhd->bqhgd", w,
+                          cv_all.astype(jnp.float32)).reshape(B, 1, Hq * hs)
+        x = res + _lin(attn, L["sa_o"])
 
         res = x
         h = _rms(x, L["ca_norm"])
-        q = _rope((h @ L["ca_q"]).reshape(B, 1, Hq, hs), positions)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, cross_kv["k"][l])
+        q = _rope(_lin(h, L["ca_q"]).reshape(B, 1, Hq, hs), positions)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q,
+                            cross_kv["k"][l].astype(jnp.float32))
         w = jax.nn.softmax(logits, axis=-1)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", w, cross_kv["v"][l]).reshape(B, 1, Hq * hs)
-        x = res + attn @ L["ca_o"]
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w,
+                          cross_kv["v"][l].astype(jnp.float32)).reshape(B, 1, Hq * hs)
+        x = res + _lin(attn, L["ca_o"])
 
         res = x
         h = _rms(x, L["mlp_norm"])
-        x = res + (jax.nn.silu(h @ L["gate"]) * (h @ L["up"])) @ L["wo"]
+        x = res + _lin(jax.nn.silu(_lin(h, L["gate"])) * _lin(h, L["up"]),
+                       L["wo"])
 
     x = _rms(x, dec["norm"])
     heads = jnp.stack(dec["heads"])
@@ -450,8 +509,15 @@ class DiaRunner(TTSRunner):
 
 @register_loader("dia")
 def load_dia_runner(gguf_file, config: GenerationConfig) -> DiaRunner:
+    import dataclasses
+
     cfg = DiaConfig.from_gguf_kv(gguf_file.kv)
-    tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()}
-    params = load_dia_params(tensors, cfg)
-    dac = DACDecoder.from_tensors(tensors, gguf_file.kv)
+    # raw GGUFTensors for the model so quantized decoder linears stay
+    # int8/int4 on device; the DAC codec takes dequantized numpy
+    params = load_dia_params(dict(gguf_file.tensors), cfg)
+    if dia_params_quantized(params):
+        cfg = dataclasses.replace(cfg, kv_dtype="bfloat16")
+    dac_tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()
+                   if n.startswith("dac.") or n.startswith("audio_encoder.")}
+    dac = DACDecoder.from_tensors(dac_tensors, gguf_file.kv)
     return DiaRunner(cfg, params, dac, config)

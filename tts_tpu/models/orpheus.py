@@ -55,6 +55,14 @@ class OrpheusConfig:
     bos_token_id: int = 128000
     eos_token_id: int = 128009
     rope_theta: float = 500000.0
+    # decode attention: the variable-length flash kernel reads only the live
+    # context (ops/attention.py); False falls back to the einsum formulation
+    # (used under tensor-parallel meshes, where GSPMD partitions the einsum
+    # but cannot partition a pallas_call)
+    use_flash_attn: bool = True
+    # int8 KV cache: halves cache read/write bytes per decode step; scales
+    # fold into the attention logits (see ops/attention.py)
+    kv_quant: bool = False
 
     @property
     def cache_length(self) -> int:
@@ -184,8 +192,11 @@ def orpheus_param_specs(params) -> dict:
 def make_tp_context(params, cfg: OrpheusConfig, mesh):
     """Tensor-parallel placement for inference (SURVEY §2.9(b)): device_put
     params per `orpheus_param_specs` and build an empty KV cache sharded on
-    kv-heads over 'tp'.  The jitted prefill/decode graphs then run under GSPMD
-    with collectives (psum after o/down projections) riding ICI."""
+    kv-heads over 'tp' (head-major cache: heads are axis 1; the scale arrays
+    ks/vs shard the same axis).  The jitted prefill/decode graphs then run
+    under GSPMD with collectives (psum after o/down projections) riding ICI.
+    Callers must run with use_flash_attn=False — GSPMD cannot partition the
+    flash pallas_call (`load_orpheus_runner` handles this)."""
     from jax.sharding import NamedSharding
 
     specs = orpheus_param_specs(params)
@@ -196,11 +207,13 @@ def make_tp_context(params, cfg: OrpheusConfig, mesh):
                   for x, s in zip(flat_p, flat_s)])
     cache = init_kv_cache(cfg)
     tp = mesh.shape["tp"]
-    spec = (P(None, None, "tp", None) if cfg.n_kv_attn_heads % tp == 0 and tp > 1
-            else P())
-    cache = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), cache)
-    return params, cache
+    shard_heads = cfg.n_kv_attn_heads % tp == 0 and tp > 1
+    placed = {}
+    for name, arr in cache.items():
+        spec = (P(None, "tp", None, None) if arr.ndim == 4 else
+                P(None, "tp", None)) if shard_heads else P()
+        placed[name] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return params, placed
 
 
 def _rms(x, w, eps: float = 1e-5):
@@ -230,34 +243,63 @@ def _head_logits(x, params, cfg: OrpheusConfig):
     return linear(x.astype(jnp.float32), params["head"])[..., : cfg.vocab_size]
 
 
+def padded_cache_length(cfg: OrpheusConfig) -> int:
+    """Cache length rounded up to the flash kernel's chunk size."""
+    from tts_tpu.ops.attention import S_CHUNK
+    return -(-cfg.cache_length // S_CHUNK) * S_CHUNK
+
+
 def init_kv_cache(cfg: OrpheusConfig) -> dict:
-    shape = (cfg.n_layers, cfg.cache_length, cfg.n_kv_attn_heads, cfg.head_size)
+    """Head-major cache [L, Hkv, S, hs] so the flash-decode kernel's per-head
+    DMAs are contiguous stripes.  With cfg.kv_quant, k/v are int8 with
+    per-(head, position) scales ks/vs [L, Hkv, S] — half the cache traffic;
+    scales fold into the attention logits (ops/attention.py)."""
+    S = padded_cache_length(cfg)
+    shape = (cfg.n_layers, cfg.n_kv_attn_heads, S, cfg.head_size)
+    if cfg.kv_quant:
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(shape[:3], jnp.float32),
+                "vs": jnp.zeros(shape[:3], jnp.float32)}
     return {"k": jnp.zeros(shape, jnp.bfloat16), "v": jnp.zeros(shape, jnp.bfloat16)}
 
 
 def _gqa_attention(q, cache_k, cache_v, mask, cfg):
-    """q [T, Hq, hs]; cache [S, Hkv, hs]; grouped-query attention without
-    materializing repeated KV heads."""
+    """q [T, Hq, hs]; head-major cache [Hkv, S, hs]; grouped-query attention
+    without materializing repeated KV heads (einsum path: prefill, TP, and
+    tiny-dim tests; decode uses the flash kernel)."""
     Hkv = cfg.n_kv_attn_heads
     group = cfg.n_attn_heads // Hkv
     T = q.shape[0]
     qg = q.reshape(T, Hkv, group, cfg.head_size)
-    logits = jnp.einsum("qhgd,khd->hgqk", qg.astype(jnp.float32),
+    logits = jnp.einsum("qhgd,hkd->hgqk", qg.astype(jnp.float32),
                         cache_k.astype(jnp.float32)) / math.sqrt(cfg.head_size)
     logits = logits + mask
     w = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum("hgqk,khd->qhgd", w, cache_v.astype(jnp.float32))
+    attn = jnp.einsum("hgqk,hkd->qhgd", w, cache_v.astype(jnp.float32))
     return attn.reshape(T, cfg.n_attn_heads * cfg.head_size)
 
 
+def _use_flash(cfg: OrpheusConfig, T: int, S: int) -> bool:
+    from tts_tpu.ops.attention import S_CHUNK
+    return (cfg.use_flash_attn and T == 1 and S % S_CHUNK == 0
+            and cfg.head_size % 128 == 0)
+
+
 def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
+    from tts_tpu.ops.attention import gqa_decode_attention_dyn, quantize_kv
+
     T = tokens.shape[0]
     x = params["embd"][tokens]
-    key_pos = jnp.arange(cfg.cache_length)
-    mask = jnp.where(key_pos[None, None, None, :] <= positions[None, None, :, None],
-                     0.0, -1e9).astype(jnp.float32)
+    S = cache["k"].shape[2]
+    quant = "ks" in cache
+    flash = _use_flash(cfg, T, S)
+    if not flash:
+        key_pos = jnp.arange(S)
+        mask = jnp.where(key_pos[None, None, None, :] <= positions[None, None, :, None],
+                         0.0, -1e9).astype(jnp.float32)
 
-    new_k, new_v = cache["k"], cache["v"]
+    new_cache = dict(cache)
     Hq, Hkv, hs = cfg.n_attn_heads, cfg.n_kv_attn_heads, cfg.head_size
     for l, L in enumerate(params["layers"]):
         res = x
@@ -274,11 +316,40 @@ def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
         v = v.reshape(T, Hkv, hs)
         q = _rope(q, positions, params["rope_factors"], cfg.rope_theta)
         k = _rope(k, positions, params["rope_factors"], cfg.rope_theta)
-        new_k = jax.lax.dynamic_update_slice(new_k, k[None].astype(new_k.dtype),
-                                             (l, start_pos, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(new_v, v[None].astype(new_v.dtype),
-                                             (l, start_pos, 0, 0))
-        attn = _gqa_attention(q, new_k[l], new_v[l], mask, cfg).astype(x.dtype)
+        if quant:
+            kq, ksc = quantize_kv(k)                    # [T,Hkv,hs], [T,Hkv]
+            vq, vsc = quantize_kv(v)
+            new_cache["k"] = jax.lax.dynamic_update_slice(
+                new_cache["k"], kq.transpose(1, 0, 2)[None], (l, 0, start_pos, 0))
+            new_cache["v"] = jax.lax.dynamic_update_slice(
+                new_cache["v"], vq.transpose(1, 0, 2)[None], (l, 0, start_pos, 0))
+            new_cache["ks"] = jax.lax.dynamic_update_slice(
+                new_cache["ks"], ksc.T[None], (l, 0, start_pos))
+            new_cache["vs"] = jax.lax.dynamic_update_slice(
+                new_cache["vs"], vsc.T[None], (l, 0, start_pos))
+        else:
+            new_cache["k"] = jax.lax.dynamic_update_slice(
+                new_cache["k"], k.transpose(1, 0, 2)[None].astype(new_cache["k"].dtype),
+                (l, 0, start_pos, 0))
+            new_cache["v"] = jax.lax.dynamic_update_slice(
+                new_cache["v"], v.transpose(1, 0, 2)[None].astype(new_cache["v"].dtype),
+                (l, 0, start_pos, 0))
+        if flash:
+            attn = gqa_decode_attention_dyn(
+                q[0].astype(jnp.float32), new_cache["k"][l], new_cache["v"][l],
+                positions[0],
+                k_scale=new_cache["ks"][l] if quant else None,
+                v_scale=new_cache["vs"][l] if quant else None,
+            ).reshape(1, Hq * hs).astype(x.dtype)
+        else:
+            if quant:
+                kd = (new_cache["k"][l].astype(jnp.float32)
+                      * new_cache["ks"][l][:, :, None])
+                vd = (new_cache["v"][l].astype(jnp.float32)
+                      * new_cache["vs"][l][:, :, None])
+            else:
+                kd, vd = new_cache["k"][l], new_cache["v"][l]
+            attn = _gqa_attention(q, kd, vd, mask, cfg).astype(x.dtype)
         x = res + linear(attn, L["o"]).astype(x.dtype)
         res = x
         h = _rms(x, L["post_norm"])
@@ -291,7 +362,7 @@ def _orpheus_body(params, cfg, tokens, positions, start_pos, cache):
         h = linear(h.astype(x.dtype), L["down"]).astype(x.dtype)
         x = res + h
     x = _rms(x, params["out_norm"])
-    return x, {"k": new_k, "v": new_v}
+    return x, new_cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -535,8 +606,17 @@ def load_orpheus_runner(gguf_file, config: GenerationConfig,
                         mesh=None) -> OrpheusRunner:
     """mesh: optional tp Mesh — shards the backbone tensor-parallel via
     `make_tp_context` (kv cache on heads, q/k/v/gate/up/head on output dim,
-    o/down on input dim)."""
+    o/down on input dim).  TP uses the einsum attention (GSPMD cannot
+    partition the flash pallas_call).  TTS_TPU_ORPHEUS_KV=int8 switches to
+    the int8 KV cache (half the attention bytes per step)."""
+    import dataclasses
+    import os
+
     cfg = OrpheusConfig.from_gguf_kv(gguf_file.kv)
+    if os.environ.get("TTS_TPU_ORPHEUS_KV", "").lower() == "int8":
+        cfg = dataclasses.replace(cfg, kv_quant=True)
+    if mesh is not None:
+        cfg = dataclasses.replace(cfg, use_flash_attn=False)
     params = load_orpheus_params(dict(gguf_file.tensors), cfg)
     snac_tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()
                     if n.startswith("snac.")}
