@@ -96,3 +96,31 @@ def test_generate_stream_matches_generate(runner):
               else np.zeros(0, np.float32))
     assert stream.shape == full.audio.shape
     np.testing.assert_allclose(stream, full.audio, atol=2e-5, rtol=0)
+
+
+def test_quantized_parler_stays_int8(tmp_path):
+    """Q4 parler: quantizable decoder linears stay packed int4 on device,
+    the cache switches to bf16, and generation runs end-to-end."""
+    import jax.numpy as jnp
+
+    from tts_tpu.apps.quantize import QuantizationParams, quantize_gguf
+    from tts_tpu.convert.builder_parler import write_parler_gguf
+    from tts_tpu.core.gguf import GGMLType
+    from tts_tpu.models.parler import parler_params_quantized
+    from tts_tpu.models.registry import runner_from_file
+    from tts_tpu.runtime.api import GenerationConfig
+
+    f32 = tmp_path / "parler_f32.gguf"
+    q4 = tmp_path / "parler_q4.gguf"
+    # dims meeting the kernel tile constraints (out % 256 == 0, in % 32 == 0)
+    write_parler_gguf(f32, hidden=256, ffn=256, heads=4)
+    quantize_gguf(str(f32), str(q4), QuantizationParams(GGMLType.Q4_0))
+
+    runner = runner_from_file(str(q4))
+    assert parler_params_quantized(runner.params)
+    assert runner.cfg.kv_dtype == "bfloat16"
+    L0 = runner.params["layers"][0]
+    assert "wq4" in L0["sa_q"] and L0["sa_q"]["wq4"].dtype == jnp.int8
+    resp = runner.generate("hello there", GenerationConfig(seed=0, max_tokens=16))
+    import numpy as np
+    assert np.isfinite(resp.audio).all()

@@ -2,8 +2,13 @@
 
 Real-time threshold: one decode step = one DAC frame = 512 samples of
 44.1 kHz audio = 11.6 ms, i.e. ~86 steps/s.
+
+QUANT=q4 measures the quantized-decoder path (int4 Pallas matmuls, bf16
+KV/cross caches, bf16 heads) — the layout a Q4_0 GGUF produces.
 """
 
+import dataclasses
+import os
 import time
 
 import numpy as np
@@ -19,8 +24,22 @@ from tts_tpu.ops.sampling import init_state
 
 def main():
     cfg = DiaConfig()  # real dims: enc 12L x 1024, dec 18L x 2048 GQA 16/4
+    quant = os.environ.get("QUANT") == "q4"
+    if quant:
+        cfg = dataclasses.replace(cfg, kv_dtype="bfloat16")
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.02).astype(np.float32))
+
+    def rq(K, N):
+        """Decoder linear at [in, out]: dense f32, or packed int4 + uint16
+        raw-f16-bit scales (what pack_q4_weight produces)."""
+        if not quant:
+            return r(K, N)
+        from tts_tpu.ops.qmatmul import pack_q4_nibbles
+        vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
+        return {"wq4": jnp.asarray(pack_q4_nibbles(vals)),
+                "scales": jnp.asarray(((rng.random((K // 32, N)) + .5) * 0.005)
+                                      .astype(np.float16).view(np.uint16))}
     EH, DH, hs = cfg.encoder_hidden_size, cfg.decoder_hidden_size, cfg.head_size
     enc = {"embedding": r(256, EH), "norm": jnp.ones(EH), "layers": []}
     for _ in range(cfg.n_encoder_layers):
@@ -30,20 +49,22 @@ def main():
             "sa_norm": jnp.ones(EH), "mlp_norm": jnp.ones(EH),
             "gate": r(EH, 4096), "up": r(EH, 4096), "wo": r(4096, EH),
         })
+    hdt = jnp.bfloat16 if quant else jnp.float32
     dec = {"norm": jnp.ones(DH),
            "embds": [r(cfg.audio_vocab_size + 3, DH) for _ in range(9)],
-           "heads": [r(DH, cfg.output_vocab_size) for _ in range(9)], "layers": []}
+           "heads": [r(DH, cfg.output_vocab_size).astype(hdt) for _ in range(9)],
+           "layers": []}
     for _ in range(cfg.n_decoder_layers):
         dec["layers"].append({
-            "sa_q": r(DH, cfg.decoder_attn_heads * hs),
-            "sa_k": r(DH, cfg.kv_heads * hs), "sa_v": r(DH, cfg.kv_heads * hs),
-            "sa_o": r(cfg.decoder_attn_heads * hs, DH),
-            "ca_q": r(DH, cfg.decoder_attn_heads * hs),
-            "ca_k": r(EH, cfg.decoder_attn_heads * hs),
-            "ca_v": r(EH, cfg.decoder_attn_heads * hs),
-            "ca_o": r(cfg.decoder_attn_heads * hs, DH),
+            "sa_q": rq(DH, cfg.decoder_attn_heads * hs),
+            "sa_k": rq(DH, cfg.kv_heads * hs), "sa_v": rq(DH, cfg.kv_heads * hs),
+            "sa_o": rq(cfg.decoder_attn_heads * hs, DH),
+            "ca_q": rq(DH, cfg.decoder_attn_heads * hs),
+            "ca_k": rq(EH, cfg.decoder_attn_heads * hs),
+            "ca_v": rq(EH, cfg.decoder_attn_heads * hs),
+            "ca_o": rq(cfg.decoder_attn_heads * hs, DH),
             "sa_norm": jnp.ones(DH), "ca_norm": jnp.ones(DH), "mlp_norm": jnp.ones(DH),
-            "gate": r(DH, 8192), "up": r(DH, 8192), "wo": r(8192, DH),
+            "gate": rq(DH, 8192), "up": rq(DH, 8192), "wo": rq(8192, DH),
         })
     params = {"encoder": enc, "decoder": dec}
     jax.block_until_ready(params)

@@ -20,24 +20,40 @@ from tts_tpu.ops.sampling import init_state
 
 
 def main():
+    import dataclasses
+
     cfg = ParlerConfig()  # mini v1 dims (24L, h=1024, 16 heads)
+    quant = os.environ.get("QUANT") == "q4"
+    if quant:
+        cfg = dataclasses.replace(cfg, kv_dtype="bfloat16")
     rng = np.random.default_rng(0)
     r = lambda *s: jnp.asarray((rng.standard_normal(s) * 0.02).astype(np.float32))
+
+    def rq(K, N):
+        if not quant:
+            return r(K, N)
+        from tts_tpu.ops.qmatmul import pack_q4_nibbles
+        vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
+        return {"wq4": jnp.asarray(pack_q4_nibbles(vals)),
+                "scales": jnp.asarray(((rng.random((K // 32, N)) + .5) * 0.005)
+                                      .astype(np.float16).view(np.uint16))}
     H, FFN, ENC = cfg.hidden_size, 4096, 20
     params = {
         "prompt_embd": r(1088, H), "positional": r(cfg.max_ctx_length, H),
         "text_encoding": r(ENC, H), "norm_w": jnp.ones(H), "norm_b": jnp.zeros(H),
         "embds": [r(cfg.audio_vocab_size + 2, H) for _ in range(9)],
-        "heads": [r(H, cfg.output_vocab_size) for _ in range(9)],
+        "heads": [r(H, cfg.output_vocab_size)
+                  .astype(jnp.bfloat16 if quant else jnp.float32)
+                  for _ in range(9)],
         "layers": [],
     }
     for _ in range(cfg.n_layers):
         params["layers"].append({
             "sa_norm_w": jnp.ones(H), "sa_norm_b": jnp.zeros(H),
-            "sa_q": r(H, H), "sa_k": r(H, H), "sa_v": r(H, H), "sa_o": r(H, H),
+            "sa_q": rq(H, H), "sa_k": rq(H, H), "sa_v": rq(H, H), "sa_o": rq(H, H),
             "ca_norm_w": jnp.ones(H), "ca_norm_b": jnp.zeros(H),
-            "ca_q": r(H, H), "ca_k": r(H, H), "ca_v": r(H, H), "ca_o": r(H, H),
-            "fc1": r(H, FFN), "fc2": r(FFN, H),
+            "ca_q": rq(H, H), "ca_k": rq(H, H), "ca_v": rq(H, H), "ca_o": rq(H, H),
+            "fc1": rq(H, FFN), "fc2": rq(FFN, H),
             "out_norm_w": jnp.ones(H), "out_norm_b": jnp.zeros(H),
         })
     jax.block_until_ready(params)

@@ -147,7 +147,13 @@ def load_dia_params(tensors: dict, cfg: DiaConfig) -> dict:
             "gate": lin(f"{L}.gate"), "up": lin(f"{L}.up"),
             "wo": lin(f"{L}.wo"),
         })
-    return {"encoder": enc, "decoder": dec}
+    params = {"encoder": enc, "decoder": dec}
+    if dia_params_quantized(params):
+        # the 9 output heads read 75 MB of f32 per step; the reference keeps
+        # them unquantized (quantize allowlist), but bf16 storage halves the
+        # stream on already-quantized checkpoints (math stays f32 in the dot)
+        dec["heads"] = [h.astype(jnp.bfloat16) for h in dec["heads"]]
+    return params
 
 
 def dia_params_quantized(params) -> bool:

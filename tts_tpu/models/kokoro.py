@@ -441,56 +441,6 @@ def _gen_res_block_apply(x, blk, style, geom, mask=None):
     return inp
 
 
-def _gen_res_blocks_fused(x, blocks, geoms, style, mask=None):
-    """Average of n_kernels parallel res blocks (HiFiGAN MRF; the reference
-    runs them sequentially, kokoro/model.cpp:222-228).
-
-    The kernels differ only in conv width (3/7/11) with identical per-pair
-    dilations, so the blocks are stacked into ONE batched block: narrow
-    kernels are zero-padded to the widest (a zero tap contributes nothing;
-    'same' padding keeps outputs bit-identical) and the whole stack runs as
-    batch-n_kernels convs via vmap.  Falls back to the sequential loop when a
-    checkpoint's geometry is not stackable."""
-    n_pairs = len(blocks[0]["convs1_w"])
-    widths = [blk["convs1_w"][0].shape[-1] for blk in blocks]
-    kmax = max(widths)
-    ok = all((kmax - kw) % 2 == 0 for kw in widths)
-    for blk, geom, kw in zip(blocks, geoms, widths):
-        for j in range(n_pairs):
-            pad, dil = geom[j]
-            ok = (ok and blk["convs1_w"][j].shape[-1] == kw
-                  and blk["convs2_w"][j].shape[-1] == kw
-                  and pad == dil * (kw - 1) // 2        # 'same' convs only
-                  and dil == geoms[0][j][1])            # dilations shared
-        ok = ok and geom[0][1] == 1 and geom[0][0] == (kw - 1) // 2
-
-    if not ok:
-        acc = None
-        for blk, geom in zip(blocks, geoms):
-            r = _gen_res_block_apply(x, blk, style, geom, mask=mask)
-            acc = r if acc is None else acc + r
-        return acc / float(len(blocks))
-
-    def padk(w):
-        p = (kmax - w.shape[-1]) // 2
-        return jnp.pad(w, ((0, 0), (0, 0), (p, p))) if p else w
-
-    stacked = {}
-    for key in blocks[0]:
-        is_conv = key in ("convs1_w", "convs2_w")
-        stacked[key] = [
-            jnp.stack([padk(blk[key][j]) if is_conv else blk[key][j]
-                       for blk in blocks])
-            for j in range(n_pairs)]
-    geom_common = tuple((geoms[0][j][1] * (kmax - 1) // 2, geoms[0][j][1])
-                        for j in range(n_pairs))
-    xb = jnp.broadcast_to(x, (len(blocks),) + x.shape)
-    out = jax.vmap(
-        lambda xi, bi: _gen_res_block_apply(xi, bi, style, geom_common, mask=mask),
-        in_axes=(0, 0))(xb, stacked)
-    return jnp.mean(out, axis=0)
-
-
 def _sine_source(cfg: KokoroConfig, f0, frame_mask, noise_key):
     """Harmonic source: cumsum-mod sine gen + voiced/unvoiced noise
     (parity: build_sin_gen, kokoro/model.cpp:173-193 + util.cpp:139-172)."""
@@ -589,20 +539,17 @@ def _generation_body(params, cfg: KokoroConfig, F: int, tokens, token_mask,
     x = bilstm(x, dp["shared_lstm"]["fwd"], dp["shared_lstm"]["bwd"], mask=frame_mask)
 
     cdtype = jnp.dtype(cfg.compute_dtype)  # frame-rate compute policy (HBM-bound)
-    # F0 and N branches are structurally identical AdaIN stacks over the same
-    # input (kokoro/model.cpp:1169-1190 runs them sequentially) — stack their
-    # params and vmap so every conv runs once at batch 2 instead of twice.
-    # The stack happens at trace time; XLA folds it into a cheap concat.
-    fn = jnp.stack([x, x]).astype(cdtype)                         # [2, F, 640]
-    fn_mask = frame_mask
-    for fblk, nblk in zip(dp["f0_blocks"], dp["n_blocks"]):
-        blk2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), fblk, nblk)
-        m = fn_mask
-        fn, fn_mask = jax.vmap(
-            lambda xb, bb: _ada_res_block(xb, bb, style_pros, mask=m),
-            in_axes=(0, 0), out_axes=(0, None))(fn, blk2)
-    f0_curve = (fn[0].astype(jnp.float32) @ dp["f0_proj_w"] + dp["f0_proj_b"])  # [F2]
-    n_curve = (fn[1].astype(jnp.float32) @ dp["n_proj_w"] + dp["n_proj_b"])     # [F2]
+    f0 = x.astype(cdtype)
+    f0_mask = frame_mask
+    for blk in dp["f0_blocks"]:
+        f0, f0_mask = _ada_res_block(f0, blk, style_pros, mask=f0_mask)
+    f0_curve = (f0.astype(jnp.float32) @ dp["f0_proj_w"] + dp["f0_proj_b"])  # [F2]
+
+    n = x.astype(cdtype)
+    n_mask = frame_mask
+    for blk in dp["n_blocks"]:
+        n, n_mask = _ada_res_block(n, blk, style_pros, mask=n_mask)
+    n_curve = (n.astype(jnp.float32) @ dp["n_proj_w"] + dp["n_proj_b"])      # [F2]
 
     # text encoder branch
     te = params["text_encoder"]
@@ -672,10 +619,13 @@ def generator_tail(gen, cfg: KokoroConfig, cur, cur_mask, har_spec, style_gen,
         src = _gen_res_block_apply(src, gen["noise_blocks"][i]["res"],
                                    style_gen, cfg.noise_res_geom[i], mask=sm)
         x = x + src
-        lo = i * cfg.n_kernels
-        x = _gen_res_blocks_fused(
-            x, gen["res_blocks"][lo : lo + cfg.n_kernels],
-            cfg.res_block_geom[lo : lo + cfg.n_kernels], style_gen, mask=m)
+        acc = None
+        for k in range(cfg.n_kernels):
+            r = _gen_res_block_apply(x, gen["res_blocks"][i * cfg.n_kernels + k],
+                                     style_gen, cfg.res_block_geom[i * cfg.n_kernels + k],
+                                     mask=m)
+            acc = r if acc is None else acc + r
+        x = acc / float(cfg.n_kernels)
 
     x = leaky_relu(x, 0.01)
     x = conv1d(x, gen["out_conv_w"], gen["out_conv_b"],

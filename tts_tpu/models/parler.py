@@ -44,6 +44,10 @@ class ParlerConfig:
     eos_token_id: int = 1024
     bos_token_id: int = 1025
     max_ctx_length: int = 4096
+    # cache/cross storage dtype: f32 for dense checkpoints (bit-exact with
+    # the NumPy parity path); the loader switches to bfloat16 when decoder
+    # weights are quantized (cache noise << weight quantization noise)
+    kv_dtype: str = "float32"
     max_generation_size: int = 2580
     n_encode_length: int = 0
     use_cross_attn: bool = True
@@ -71,11 +75,32 @@ class ParlerConfig:
 
 
 def load_parler_params(tensors: dict, cfg: ParlerConfig) -> dict:
+    """Decoder linears keep GGUF Q8/Q5/Q4 weights int8/int4 on device (the
+    per-step decode otherwise reads ~1.3 GB of f32 weights; same
+    weights-bandwidth argument as Orpheus/Dia).  Dense checkpoints load
+    unchanged so the NumPy parity harness stays bit-exact."""
+    from tts_tpu.core.gguf import GGMLType, GGUFTensor
+    from tts_tpu.ops.qmatmul import pack_q4_weight, pack_q8_weight
+
     def get(name):
         t = tensors.get(name)
         if t is None:
             raise KeyError(f"parler: missing tensor {name}")
+        if isinstance(t, GGUFTensor):
+            t = t.to_numpy()
         return jnp.asarray(np.asarray(t, np.float32))
+
+    def lin(name):
+        t = tensors.get(name)
+        if t is None:
+            raise KeyError(f"parler: missing tensor {name}")
+        if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0 \
+                and t.shape[0] % 256 == 0:
+            if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
+                return pack_q4_weight(t)
+            if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q5_0):
+                return pack_q8_weight(t)
+        return get(name).T
 
     p = {
         "prompt_embd": get("decoder.embed_prompts"),
@@ -98,22 +123,43 @@ def load_parler_params(tensors: dict, cfg: ParlerConfig) -> dict:
         p["layers"].append({
             "sa_norm_w": get(f"{L}.self_attn_layer_norm.weight"),
             "sa_norm_b": get(f"{L}.self_attn_layer_norm.bias"),
-            "sa_q": get(f"{L}.self_attn.q_proj.weight").T,
-            "sa_k": get(f"{L}.self_attn.k_proj.weight").T,
-            "sa_v": get(f"{L}.self_attn.v_proj.weight").T,
-            "sa_o": get(f"{L}.self_attn.out_proj.weight").T,
+            "sa_q": lin(f"{L}.self_attn.q_proj.weight"),
+            "sa_k": lin(f"{L}.self_attn.k_proj.weight"),
+            "sa_v": lin(f"{L}.self_attn.v_proj.weight"),
+            "sa_o": lin(f"{L}.self_attn.out_proj.weight"),
             "ca_norm_w": get(f"{L}.encoder_attn_layer_norm.weight"),
             "ca_norm_b": get(f"{L}.encoder_attn_layer_norm.bias"),
-            "ca_q": get(f"{L}.encoder_attn.q_proj.weight").T,
-            "ca_k": get(f"{L}.encoder_attn.k_proj.weight").T,
-            "ca_v": get(f"{L}.encoder_attn.v_proj.weight").T,
-            "ca_o": get(f"{L}.encoder_attn.out_proj.weight").T,
-            "fc1": get(f"{L}.fc1.weight").T,
-            "fc2": get(f"{L}.fc2.weight").T,
+            "ca_q": lin(f"{L}.encoder_attn.q_proj.weight"),
+            "ca_k": lin(f"{L}.encoder_attn.k_proj.weight"),
+            "ca_v": lin(f"{L}.encoder_attn.v_proj.weight"),
+            "ca_o": lin(f"{L}.encoder_attn.out_proj.weight"),
+            "fc1": lin(f"{L}.fc1.weight"),
+            "fc2": lin(f"{L}.fc2.weight"),
             "out_norm_w": get(f"{L}.final_layer_norm.weight"),
             "out_norm_b": get(f"{L}.final_layer_norm.bias"),
         })
+    if parler_params_quantized(p):
+        # the 9 lm_heads stream ~40 MB f32 per step; bf16 halves it on
+        # already-quantized checkpoints (the head dot still runs f32)
+        p["heads"] = [h.astype(jnp.bfloat16) for h in p["heads"]]
     return p
+
+
+def parler_params_quantized(params) -> bool:
+    """True if any decoder linear kept its GGUF quantization on device."""
+    return any(isinstance(L[n], dict) for L in params["layers"]
+               for n in ("sa_q", "fc1"))
+
+
+def _lin(x, p):
+    """x [..., K] through a decoder linear: dense f32 array (x @ p) or a
+    quantized dict routed to the Pallas int8/int4 matmul."""
+    if isinstance(p, dict):
+        from tts_tpu.ops.qmatmul import linear
+        lead = x.shape[:-1]
+        out = linear(x.reshape(-1, x.shape[-1]), p)
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    return x @ p
 
 
 def _ln(x, w, b, eps: float = 1e-5):
@@ -124,7 +170,8 @@ def _ln(x, w, b, eps: float = 1e-5):
 
 def init_kv_cache(cfg: ParlerConfig) -> dict:
     shape = (cfg.n_layers, cfg.max_ctx_length, cfg.n_attn_heads, cfg.head_size)
-    return {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
+    dt = jnp.dtype(cfg.kv_dtype)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
 
 def precompute_cross_kv(params, cfg: ParlerConfig):
@@ -132,10 +179,11 @@ def precompute_cross_kv(params, cfg: ParlerConfig):
     (parity: prep_cross_key_values, parler/model.cpp:110-173)."""
     enc = params["text_encoding"]
     H, hs = cfg.n_attn_heads, cfg.head_size
+    dt = jnp.dtype(cfg.kv_dtype)
     ks, vs = [], []
     for L in params["layers"]:
-        ks.append((enc @ L["ca_k"]).reshape(-1, H, hs))
-        vs.append((enc @ L["ca_v"]).reshape(-1, H, hs))
+        ks.append(_lin(enc, L["ca_k"]).reshape(-1, H, hs).astype(dt))
+        vs.append(_lin(enc, L["ca_v"]).reshape(-1, H, hs).astype(dt))
     return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
 
 
@@ -143,23 +191,27 @@ def _layer_attn(x, L, cache_k, cache_v, pos_mask, cfg):
     """Self-attention over the cache (keys beyond pos are masked)."""
     H, hs = cfg.n_attn_heads, cfg.head_size
     T = x.shape[0]
-    q = (x @ L["sa_q"]).reshape(T, H, hs)
-    logits = jnp.einsum("qhd,khd->hqk", q, cache_k) / math.sqrt(hs)
+    q = _lin(x, L["sa_q"]).reshape(T, H, hs)
+    logits = jnp.einsum("qhd,khd->hqk", q,
+                        cache_k.astype(jnp.float32)) / math.sqrt(hs)
     logits = logits + pos_mask
     w = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum("hqk,khd->qhd", w, cache_v).reshape(T, H * hs)
-    return attn @ L["sa_o"]
+    attn = jnp.einsum("hqk,khd->qhd", w,
+                      cache_v.astype(jnp.float32)).reshape(T, H * hs)
+    return _lin(attn, L["sa_o"])
 
 
 def _layer_cross_attn(x, L, ck, cv, enc_mask, cfg):
     H, hs = cfg.n_attn_heads, cfg.head_size
     T = x.shape[0]
-    q = (x @ L["ca_q"]).reshape(T, H, hs)
-    logits = jnp.einsum("qhd,khd->hqk", q, ck) / math.sqrt(hs)
+    q = _lin(x, L["ca_q"]).reshape(T, H, hs)
+    logits = jnp.einsum("qhd,khd->hqk", q,
+                        ck.astype(jnp.float32)) / math.sqrt(hs)
     logits = logits + enc_mask
     w = jax.nn.softmax(logits, axis=-1)
-    attn = jnp.einsum("hqk,khd->qhd", w, cv).reshape(T, H * hs)
-    return attn @ L["ca_o"]
+    attn = jnp.einsum("hqk,khd->qhd", w,
+                      cv.astype(jnp.float32)).reshape(T, H * hs)
+    return _lin(attn, L["ca_o"])
 
 
 def _transformer(params, cfg, x, cache, start_pos, q_positions, cross_kv):
@@ -178,10 +230,12 @@ def _transformer(params, cfg, x, cache, start_pos, q_positions, cross_kv):
     for l, L in enumerate(params["layers"]):
         res = x
         h = _ln(x, L["sa_norm_w"], L["sa_norm_b"])
-        k = (h @ L["sa_k"]).reshape(T, H, hs)
-        v = (h @ L["sa_v"]).reshape(T, H, hs)
-        new_k = jax.lax.dynamic_update_slice(new_k, k[None], (l, start_pos, 0, 0))
-        new_v = jax.lax.dynamic_update_slice(new_v, v[None], (l, start_pos, 0, 0))
+        k = _lin(h, L["sa_k"]).reshape(T, H, hs)
+        v = _lin(h, L["sa_v"]).reshape(T, H, hs)
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(new_k.dtype), (l, start_pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(new_v.dtype), (l, start_pos, 0, 0))
         x = res + _layer_attn(h, L, new_k[l], new_v[l], mask, cfg)
         if cross_kv is not None:
             res = x
@@ -190,7 +244,7 @@ def _transformer(params, cfg, x, cache, start_pos, q_positions, cross_kv):
                                         enc_mask, cfg)
         res = x
         h = _ln(x, L["out_norm_w"], L["out_norm_b"])
-        h = jax.nn.gelu(h @ L["fc1"]) @ L["fc2"]
+        h = _lin(jax.nn.gelu(_lin(h, L["fc1"])), L["fc2"])
         x = res + h
     x = _ln(x, params["norm_w"], params["norm_b"])
     return x, {"k": new_k, "v": new_v}
@@ -446,9 +500,16 @@ class ParlerRunner(TTSRunner):
 
 @register_loader("parler-tts")
 def load_parler_runner(gguf_file, config: GenerationConfig) -> ParlerRunner:
+    import dataclasses
+
     cfg = ParlerConfig.from_gguf_kv(gguf_file.kv)
-    tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()}
-    params = load_parler_params(tensors, cfg)
+    # raw GGUFTensors so quantized decoder linears stay int8/int4 on device;
+    # the DAC codec takes dequantized numpy
+    params = load_parler_params(dict(gguf_file.tensors), cfg)
+    if parler_params_quantized(params):
+        cfg = dataclasses.replace(cfg, kv_dtype="bfloat16")
     tokenizer = UnigramTokenizer.from_gguf_kv(gguf_file.kv)
-    dac = DACDecoder.from_tensors(tensors, gguf_file.kv)
+    dac_tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()
+                   if n.startswith("audio_encoder.") or n.startswith("dac.")}
+    dac = DACDecoder.from_tensors(dac_tensors, gguf_file.kv)
     return ParlerRunner(cfg, params, tokenizer, dac, config)
