@@ -114,3 +114,64 @@ def test_generate_stream(runner):
     resp = runner.generate("hi", cfg)
     assert total.shape == resp.audio.shape
     np.testing.assert_allclose(total, resp.audio, atol=2e-5, rtol=0)
+
+
+def test_flash_attn_matches_einsum_decode():
+    """Greedy decode through the flash-attention kernel (interpret) equals
+    the einsum attention path token-for-token at kernel-eligible dims
+    (head_size 128, cache padded to the DMA chunk size)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.models.orpheus import (
+        OrpheusConfig, init_kv_cache, orpheus_decode_loop, orpheus_prefill,
+        padded_cache_length)
+    from tts_tpu.ops.sampling import init_state
+
+    cfg = OrpheusConfig(n_layers=2, hidden_size=256, n_attn_heads=8,
+                        n_kv_attn_heads=4, head_size=128, vocab_size=512,
+                        max_context_length=64, max_generation_size=448,
+                        stopping_token_id=511)
+    assert padded_cache_length(cfg) % 512 == 0
+    rng = np.random.default_rng(0)
+    H = cfg.hidden_size
+
+    def w(K, N):
+        return {"w": jnp.asarray((rng.standard_normal((K, N)) * 0.05)
+                                 .astype(np.float32))}
+
+    params = {"embd": jnp.asarray(rng.standard_normal(
+                  (cfg.vocab_size, H)).astype(np.float32) * 0.1),
+              "head": w(H, cfg.vocab_size),
+              "out_norm": jnp.ones(H, jnp.float32),
+              "rope_factors": jnp.ones(cfg.head_size // 2, jnp.float32),
+              "layers": []}
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "in_norm": jnp.ones(H, jnp.float32),
+            "q": w(H, cfg.n_attn_heads * cfg.head_size),
+            "k": w(H, cfg.n_kv_attn_heads * cfg.head_size),
+            "v": w(H, cfg.n_kv_attn_heads * cfg.head_size),
+            "o": w(cfg.n_attn_heads * cfg.head_size, H),
+            "post_norm": jnp.ones(H, jnp.float32),
+            "gate": w(H, 4 * H), "up": w(H, 4 * H), "down": w(4 * H, H)})
+
+    T = 8
+    tokens = jnp.asarray(rng.integers(1, 500, T).astype(np.int32))
+    outs = {}
+    for flash in (True, False):
+        c = dataclasses.replace(cfg, use_flash_attn=flash)
+        cache = init_kv_cache(c)
+        logits, cache = orpheus_prefill(params, c, tokens,
+                                        jnp.asarray(T, jnp.int32), cache)
+        out, n, *_ = orpheus_decode_loop(
+            params, c, jnp.argmax(logits).astype(jnp.int32),
+            jnp.asarray(T, jnp.int32), jnp.asarray(12, jnp.int32), cache,
+            jax.random.PRNGKey(0), init_state(1), max_steps=16,
+            do_sample=False)
+        outs[flash] = (np.asarray(out)[: int(n)], int(n))
+    assert outs[True][1] == outs[False][1] > 0
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
