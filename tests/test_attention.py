@@ -5,7 +5,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from tts_tpu.ops.attention import S_CHUNK, gqa_decode_attention, quantize_kv
+from tts_tpu.ops.attention import S_CHUNK, quantize_kv
 
 
 def einsum_ref(q, k, v, pos):
@@ -24,47 +24,6 @@ def einsum_ref(q, k, v, pos):
         w /= w.sum(axis=-1, keepdims=True)
         out[h] = w @ vf[:, h, :]
     return out.reshape(Hq, hs)
-
-
-def test_flash_decode_matches_einsum(rng):
-    Hq, Hkv, hs, S = 12, 4, 128, 2 * S_CHUNK
-    q = rng.standard_normal((Hq, hs)).astype(np.float32)
-    k = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
-    v = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
-    for pos in (0, 3, S_CHUNK - 1, S_CHUNK + 7, S - 1):
-        got = np.asarray(gqa_decode_attention(
-            jnp.asarray(q), jnp.asarray(k, jnp.bfloat16),
-            jnp.asarray(v, jnp.bfloat16), pos, interpret=True))
-        want = einsum_ref(
-            np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32)),
-            np.asarray(jnp.asarray(k).astype(jnp.bfloat16).astype(jnp.float32)),
-            np.asarray(jnp.asarray(v).astype(jnp.bfloat16).astype(jnp.float32)),
-            pos)
-        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
-
-
-def test_flash_decode_int8_kv(rng):
-    """int8 KV with per-(position, head) scales tracks the f32 reference
-    within quantization tolerance."""
-    Hq, Hkv, hs, S = 24, 8, 128, 2 * S_CHUNK
-    pos = S_CHUNK + 100
-    q = rng.standard_normal((Hq, hs)).astype(np.float32)
-    k = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
-    v = rng.standard_normal((S, Hkv, hs)).astype(np.float32)
-    kq, ks = quantize_kv(jnp.asarray(k))
-    vq, vs = quantize_kv(jnp.asarray(v))
-    got = np.asarray(gqa_decode_attention(
-        jnp.asarray(q), kq, vq, pos,
-        k_scale=jnp.asarray(ks).T.reshape(Hkv, S),
-        v_scale=jnp.asarray(vs).T.reshape(Hkv, S), interpret=True))
-    want = einsum_ref(q, k, v, pos)
-    # int8 quantization of K shifts logits ~0.5%; V error adds directly
-    np.testing.assert_allclose(got, want, rtol=6e-2, atol=6e-2)
-    # and the dequantized cache run through the kernel matches tightly
-    kd = np.asarray(kq, np.float32) * np.asarray(ks)[:, :, None]
-    vd = np.asarray(vq, np.float32) * np.asarray(vs)[:, :, None]
-    again = einsum_ref(q, kd, vd, pos)
-    np.testing.assert_allclose(got, again, rtol=3e-2, atol=3e-2)
 
 
 def test_flash_decode_dyn_matches_einsum(rng):

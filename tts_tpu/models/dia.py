@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from tts_tpu.codecs.dac import DACDecoder
+from tts_tpu.ops.qmatmul import apply_linear as _lin
 from tts_tpu.models.registry import register_loader
 from tts_tpu.ops.sampling import init_state, sample_tokens
 from tts_tpu.runtime.api import GenerationConfig, TTSError, TTSResponse, TTSRunner
@@ -93,8 +94,8 @@ def load_dia_params(tensors: dict, cfg: DiaConfig) -> dict:
     /root/reference/src/models/dia/model.cpp decoder walk).  Dense (f32/f16)
     checkpoints load unchanged, so the NumPy parity harness still sees
     bit-identical math."""
-    from tts_tpu.core.gguf import GGMLType, GGUFTensor
-    from tts_tpu.ops.qmatmul import pack_q4_weight, pack_q8_weight
+    from tts_tpu.core.gguf import GGUFTensor
+    from tts_tpu.ops.qmatmul import pack_linear
 
     def get(name):
         t = tensors.get(name)
@@ -106,17 +107,13 @@ def load_dia_params(tensors: dict, cfg: DiaConfig) -> dict:
 
     def lin(name):
         """Decoder linear: dense -> transposed f32 array (legacy layout);
-        quantized -> {"wq"/"wq4", "scales"} dict for `ops.qmatmul.linear`."""
+        quantized -> {"wq"/"wq4", "scales"} dict (eligibility rules live in
+        `ops.qmatmul.pack_linear`)."""
         t = tensors.get(name)
         if t is None:
             raise KeyError(f"dia: missing tensor {name}")
-        if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0 \
-                and t.shape[0] % 256 == 0:
-            if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
-                return pack_q4_weight(t)
-            if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q5_0):
-                return pack_q8_weight(t)
-        return get(name).T
+        packed = pack_linear(t)
+        return packed if packed is not None else get(name).T
 
     enc = {"embedding": get("dia.encoder.embedding"),
            "norm": get("dia.encoder.norm"), "layers": []}
@@ -163,17 +160,6 @@ def dia_params_quantized(params) -> bool:
     return any(isinstance(L[n], dict)
                for L in params["decoder"]["layers"]
                for n in ("sa_q", "gate"))
-
-
-def _lin(x, p):
-    """x [..., K] through a decoder linear: dense f32 array (x @ p) or a
-    quantized dict routed to the Pallas int8/int4 matmul."""
-    if isinstance(p, dict):
-        from tts_tpu.ops.qmatmul import linear
-        lead = x.shape[:-1]
-        out = linear(x.reshape(-1, x.shape[-1]), p)
-        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
-    return x @ p
 
 
 def _rms(x, w, eps: float = 1e-5):

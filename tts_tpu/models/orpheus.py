@@ -195,10 +195,17 @@ def make_tp_context(params, cfg: OrpheusConfig, mesh):
     kv-heads over 'tp' (head-major cache: heads are axis 1; the scale arrays
     ks/vs shard the same axis).  The jitted prefill/decode graphs then run
     under GSPMD with collectives (psum after o/down projections) riding ICI.
-    Callers must run with use_flash_attn=False — GSPMD cannot partition the
-    flash pallas_call (`load_orpheus_runner` handles this)."""
+
+    Returns (params, cache, cfg): the returned cfg has use_flash_attn=False
+    (GSPMD cannot partition the flash pallas_call) and kv_quant=False (the
+    einsum fallback would dequantize the whole padded cache to f32 every
+    layer every step — strictly worse than a bf16 cache).  The exclusions
+    live HERE, in the mechanism, so every TP caller inherits them."""
+    import dataclasses
+
     from jax.sharding import NamedSharding
 
+    cfg = dataclasses.replace(cfg, use_flash_attn=False, kv_quant=False)
     specs = orpheus_param_specs(params)
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_s = treedef.flatten_up_to(specs)
@@ -213,7 +220,7 @@ def make_tp_context(params, cfg: OrpheusConfig, mesh):
         spec = (P(None, "tp", None, None) if arr.ndim == 4 else
                 P(None, "tp", None)) if shard_heads else P()
         placed[name] = jax.device_put(arr, NamedSharding(mesh, spec))
-    return params, placed
+    return params, placed, cfg
 
 
 def _rms(x, w, eps: float = 1e-5):
@@ -450,7 +457,7 @@ class OrpheusRunner(TTSRunner):
         self.cfg = cfg
         self.mesh = mesh
         if mesh is not None:
-            params, self._cache = make_tp_context(params, cfg, mesh)
+            params, self._cache, cfg = make_tp_context(params, cfg, mesh)
         else:
             self._cache = None
         self.params = params
@@ -615,8 +622,8 @@ def load_orpheus_runner(gguf_file, config: GenerationConfig,
     cfg = OrpheusConfig.from_gguf_kv(gguf_file.kv)
     if os.environ.get("TTS_TPU_ORPHEUS_KV", "").lower() == "int8":
         cfg = dataclasses.replace(cfg, kv_quant=True)
-    if mesh is not None:
-        cfg = dataclasses.replace(cfg, use_flash_attn=False)
+    # under a TP mesh, make_tp_context (called by the runner) switches off
+    # the flash kernel and the int8 cache — see its docstring
     params = load_orpheus_params(dict(gguf_file.tensors), cfg)
     snac_tensors = {n: t.to_numpy() for n, t in gguf_file.tensors.items()
                     if n.startswith("snac.")}

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from tts_tpu.codecs.dac import DACDecoder
+from tts_tpu.ops.qmatmul import apply_linear as _lin
 from tts_tpu.models.registry import register_loader
 from tts_tpu.ops.sampling import init_state, sample_tokens
 from tts_tpu.runtime.api import GenerationConfig, TTSResponse, TTSRunner
@@ -79,8 +80,8 @@ def load_parler_params(tensors: dict, cfg: ParlerConfig) -> dict:
     per-step decode otherwise reads ~1.3 GB of f32 weights; same
     weights-bandwidth argument as Orpheus/Dia).  Dense checkpoints load
     unchanged so the NumPy parity harness stays bit-exact."""
-    from tts_tpu.core.gguf import GGMLType, GGUFTensor
-    from tts_tpu.ops.qmatmul import pack_q4_weight, pack_q8_weight
+    from tts_tpu.core.gguf import GGUFTensor
+    from tts_tpu.ops.qmatmul import pack_linear
 
     def get(name):
         t = tensors.get(name)
@@ -94,13 +95,8 @@ def load_parler_params(tensors: dict, cfg: ParlerConfig) -> dict:
         t = tensors.get(name)
         if t is None:
             raise KeyError(f"parler: missing tensor {name}")
-        if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0 \
-                and t.shape[0] % 256 == 0:
-            if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
-                return pack_q4_weight(t)
-            if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q5_0):
-                return pack_q8_weight(t)
-        return get(name).T
+        packed = pack_linear(t)
+        return packed if packed is not None else get(name).T
 
     p = {
         "prompt_embd": get("decoder.embed_prompts"),
@@ -149,17 +145,6 @@ def parler_params_quantized(params) -> bool:
     """True if any decoder linear kept its GGUF quantization on device."""
     return any(isinstance(L[n], dict) for L in params["layers"]
                for n in ("sa_q", "fc1"))
-
-
-def _lin(x, p):
-    """x [..., K] through a decoder linear: dense f32 array (x @ p) or a
-    quantized dict routed to the Pallas int8/int4 matmul."""
-    if isinstance(p, dict):
-        from tts_tpu.ops.qmatmul import linear
-        lead = x.shape[:-1]
-        out = linear(x.reshape(-1, x.shape[-1]), p)
-        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
-    return x @ p
 
 
 def _ln(x, w, b, eps: float = 1e-5):

@@ -21,124 +21,10 @@ tested against (tests/test_attention.py).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 S_CHUNK = 512
-
-
-def _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                        out_ref, m_ref, l_ref, acc_ref, *, scale: float,
-                        chunks: int):
-    """Grid (Hkv, S//S_CHUNK), s innermost.  Scratch m/l/acc carry the
-    online-softmax state across s for one kv head.  ks_ref/vs_ref are None
-    on the bf16 path (bound via functools.partial before pallas_call)."""
-    from jax.experimental import pallas as pl
-
-    i_s = pl.program_id(1)
-
-    @pl.when(i_s == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[:].reshape(q_ref.shape[1], q_ref.shape[2])        # [G, hs] f32
-    k = k_ref[:].reshape(k_ref.shape[0], k_ref.shape[2])        # [Sc, hs]
-    v = v_ref[:].reshape(v_ref.shape[0], v_ref.shape[2])        # [Sc, hs]
-
-    logits = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale             # [G, Sc]
-    if ks_ref is not None:
-        # int8 KV: per-position scales fold into the logit columns
-        # (ks block is [1, Sc] — scales are stored [Hkv, S])
-        logits = logits * ks_ref[:].astype(jnp.float32)
-
-    kpos = i_s * k.shape[0] + jax.lax.broadcasted_iota(
-        jnp.int32, logits.shape, 1)
-    logits = jnp.where(kpos <= pos_ref[0], logits, -1e30)
-
-    m_prev, l_prev = m_ref[:], l_ref[:]
-    m_cur = jnp.max(logits, axis=-1, keepdims=True)             # [G, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)                                  # [G, Sc]
-    p_v = p if vs_ref is None else p * vs_ref[:].astype(jnp.float32)
-    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p_v.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                      # [G, hs]
-
-    @pl.when(i_s == chunks - 1)
-    def _fin():
-        out_ref[:] = (acc_ref[:] / l_ref[:])[None]
-
-
-def gqa_decode_attention(q, k_cache, v_cache, pos, *, k_scale=None,
-                         v_scale=None, interpret: bool | None = None):
-    """q [Hq, hs] (one token) x cache [S, Hkv, hs] -> [Hq, hs] f32.
-
-    `pos` (int32): attend to key positions <= pos.  bf16 cache: flash-
-    softmax equivalent of the einsum path.  int8 cache: pass k/v int8 with
-    k_scale/v_scale [Hkv, S] (f32; position-major inner dim so the kernel's
-    scale block is row-shaped)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    Hq, hs = q.shape
-    S, Hkv, _ = k_cache.shape
-    G = Hq // Hkv
-    assert S % S_CHUNK == 0, (S, S_CHUNK)
-    chunks = S // S_CHUNK
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    scale = 1.0 / (hs ** 0.5)
-
-    qg = q.reshape(Hkv, G, hs).astype(jnp.float32)
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-
-    quant = k_scale is not None
-    if quant:
-        kernel = partial(_decode_attn_kernel, scale=scale, chunks=chunks)
-    else:
-        def kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref,
-                   acc_ref):
-            _decode_attn_kernel(pos_ref, q_ref, k_ref, v_ref, None, None,
-                                out_ref, m_ref, l_ref, acc_ref,
-                                scale=scale, chunks=chunks)
-
-    q_spec = pl.BlockSpec((1, G, hs), lambda h, s: (h, 0, 0))
-    kv_spec = pl.BlockSpec((S_CHUNK, 1, hs), lambda h, s: (s, h, 0))
-    sc_spec = pl.BlockSpec((1, S_CHUNK), lambda h, s: (h, s))
-    pos_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    scratch_shapes = [
-        pltpu.VMEM((G, 1), jnp.float32),    # running max
-        pltpu.VMEM((G, 1), jnp.float32),    # running denom
-        pltpu.VMEM((G, hs), jnp.float32),   # running numerator
-    ]
-
-    in_specs = [pos_spec, q_spec, kv_spec, kv_spec]
-    args = [pos_arr, qg, k_cache, v_cache]
-    if quant:
-        in_specs += [sc_spec, sc_spec]
-        args += [k_scale, v_scale]
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(Hkv, chunks),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, G, hs), lambda h, s: (h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((Hkv, G, hs), jnp.float32),
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(*args)
-    return out.reshape(Hq, hs)
 
 
 def _decode_attn_dyn_kernel(pos_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,

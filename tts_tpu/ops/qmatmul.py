@@ -153,13 +153,16 @@ def _block_diag_x(x, kt: int | None = None):
 
 
 def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21):
-    """(kt, tn) for the decode kernels: both divide their dims, the weight
-    tile stays under `max_bytes` so Pallas double-buffering fits VMEM."""
+    """(kt, tn) for the decode kernels: both divide their dims, and BOTH the
+    weight tile (kt*tn bytes) and the block-diagonal activation tile
+    (kt^2/16 bytes bf16, see `_block_diag_x`) stay under `max_bytes` so
+    Pallas double-buffering fits VMEM."""
     tn = next((t for t in (1024, 512, 256) if N % t == 0), None)
     if tn is None:
         return None
     for kt in (8192, 6144, 4096, 3072, 2048, 1536, 1024, 512, 256):
-        if kt <= K and K % kt == 0 and kt * tn <= max_bytes:
+        if (kt <= K and K % kt == 0 and kt * tn <= max_bytes
+                and kt * kt // 16 <= max_bytes):
             return kt, tn
     return None
 
@@ -232,8 +235,8 @@ def pack_q4_nibbles(values: np.ndarray) -> np.ndarray:
 
 def pack_q4_weight(tensor, pad_n: bool = False, tile_n: int = 256) -> dict:
     """GGUFTensor (Q4_0, [out, in]) -> {"wq4": int8 [in//2, out],
-    "scales": f32 [in//32, out]} for `quantized_matmul_q4`.  `pad_n` as in
-    `pack_q8_weight`."""
+    "scales": uint16 raw f16 bits [in//32, out]} for `quantized_matmul_q4`
+    (same exact scale encoding as `pack_q8_weight`).  `pad_n` as there."""
     values, scales = tensor.to_int8_scales()
     out_dim, in_dim = values.shape
     packed = pack_q4_nibbles(np.ascontiguousarray(values.T))
@@ -375,3 +378,34 @@ def linear(x, p):
     if "wq" in p:
         return quantized_matmul(x, p["wq"], p["scales"])
     return x @ p["w"].astype(x.dtype)
+
+
+def pack_linear(tensor, *, pad_n: bool = False):
+    """GGUFTensor [out, in] -> quantized linear dict when the tensor is
+    Q8/Q5/Q4 AND meets the kernel tile constraints (out % 256 == 0,
+    in % 32 == 0; the int4 nibble split additionally needs in % 64 == 0),
+    else None (caller loads dense).  The SINGLE home of the eligibility
+    rules — dia/parler/orpheus loaders all route through here so a kernel
+    constraint change propagates everywhere."""
+    from tts_tpu.core.gguf import GGMLType, GGUFTensor
+
+    if not isinstance(tensor, GGUFTensor):
+        return None
+    if tensor.shape[1] % QBLOCK != 0 or tensor.shape[0] % 256 != 0:
+        return None
+    if tensor.ggml_type == GGMLType.Q4_0 and tensor.shape[1] % 64 == 0:
+        return pack_q4_weight(tensor, pad_n=pad_n)
+    if tensor.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0):
+        return pack_q8_weight(tensor, pad_n=pad_n)
+    return None
+
+
+def apply_linear(x, p):
+    """x [..., K] through a loader-produced linear: a plain array (dense,
+    legacy [K, N] layout — x @ p) or a quantized dict routed to the Pallas
+    kernels with leading dims flattened."""
+    if isinstance(p, dict):
+        lead = x.shape[:-1]
+        out = linear(x.reshape(-1, x.shape[-1]), p)
+        return out.reshape(*lead, out.shape[-1]).astype(x.dtype)
+    return x @ p
