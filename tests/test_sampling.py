@@ -88,3 +88,39 @@ def test_use_top_p_false_matches_top_p_one(rng):
     b, sb = sample_tokens(key, logits, init_state(3), temperature=0.8,
                           top_k=13, top_p=1.0, use_top_p=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_top_p_bisection_matches_sorted_reference(rng):
+    """The sort-free nucleus threshold keeps exactly the minimal sorted
+    prefix with cumsum >= top_p (inclusive), across skewed and near-uniform
+    distributions."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.ops.sampling import init_state, sample_tokens
+
+    for tp, scale in [(0.5, 4.0), (0.9, 4.0), (0.97, 0.3), (0.2, 8.0)]:
+        logits = (rng.standard_normal((3, 4096)) * scale).astype(np.float32)
+        # many draws from the filtered distribution: the support must equal
+        # the sorted-prefix support
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        order = np.argsort(-probs, axis=-1)
+        keep_ref = np.zeros_like(probs, dtype=bool)
+        for h in range(3):
+            c = 0.0
+            for idx in order[h]:
+                keep_ref[h, idx] = True
+                c += probs[h, idx]
+                if c >= tp:
+                    break
+        draws = []
+        for s in range(200):
+            toks, _ = sample_tokens(jax.random.PRNGKey(s),
+                                    jnp.asarray(logits), init_state(3),
+                                    top_p=tp)
+            draws.append(np.asarray(toks))
+        draws = np.stack(draws)              # [200, 3]
+        for h in range(3):
+            assert all(keep_ref[h, t] for t in draws[:, h]), (tp, h)

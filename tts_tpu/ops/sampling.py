@@ -58,14 +58,28 @@ def sample_tokens(key, logits, state, *, temperature: float | jax.Array = 1.0,
 
         if use_top_p:
             # nucleus: keep the smallest prefix of the sorted probs with
-            # cumsum >= top_p (inclusive, sampler.cpp topp semantics)
+            # cumsum >= top_p (inclusive, sampler.cpp topp semantics).
+            # Computed WITHOUT a sort: the prefix's cutoff equals the largest
+            # threshold t with sum(probs >= t) >= top_p (the kept mass is a
+            # step function of t), found by 30 bisection steps — 30 masked
+            # reductions over [H, V] instead of an O(V log V) sort that costs
+            # multi-ms at llama-3's 157k vocab.  After 30 halvings the
+            # threshold is within max_prob * 2^-30 of exact, so only tokens
+            # within ~1e-9 of the cutoff can differ from the sorted version.
             tp = jnp.asarray(top_p, jnp.float32)
-            sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-            cum = jnp.cumsum(sorted_probs, axis=-1)
-            keep_sorted = (cum - sorted_probs) < tp                    # [H, V]
-            thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf),
-                             axis=-1)
-            probs = jnp.where(probs >= thresh[:, None], probs, 0.0)
+            lo = jnp.zeros((H, 1), jnp.float32)
+            hi = jnp.max(probs, axis=-1, keepdims=True)
+
+            def bisect(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0),
+                               axis=-1, keepdims=True)
+                ge = mass >= tp
+                return (jnp.where(ge, mid, lo), jnp.where(ge, hi, mid))
+
+            lo, hi = jax.lax.fori_loop(0, 30, bisect, (lo, hi))
+            probs = jnp.where(probs >= lo, probs, 0.0)
             probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
         tokens = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
