@@ -144,6 +144,45 @@ def test_qmv4_decode_path_matches_unpacked(rng):
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("M", [2, 3, 8])
+def test_qmv_small_m_matches_ref(rng, M):
+    """Small-M block-diagonal decode kernel (CFG batch-2, speculative verify)
+    == ref, incl. multi-K-chunk accumulation and the M-aware K-chunk cap."""
+    from tts_tpu.ops.qmatmul import _pick_tiles
+
+    for K, N in [(512, 512), (4096, 1024)]:
+        wq = jnp.asarray(rng.integers(-127, 127, (K, N)).astype(np.int8))
+        sc = jnp.asarray((rng.random((K // QBLOCK, N)) * 0.02 + 1e-3)
+                         .astype(np.float32))
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        assert _pick_tiles(K, N, M=M) is not None   # the decode path is taken
+        got = np.asarray(quantized_matmul(jnp.asarray(x), wq, sc,
+                                          interpret=True))
+        want = np.asarray(quantized_matmul_ref(
+            jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32), wq, sc))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("M", [2, 5])
+def test_qmv4_small_m_matches_unpacked(rng, M):
+    """Small-M int4 decode kernel == dequantized matmul on the same values."""
+    from tts_tpu.ops.qmatmul import (
+        _pick_tiles, pack_q4_nibbles, quantized_matmul_q4)
+
+    for K, N in [(1024, 1024), (4096, 1024)]:
+        vals = rng.integers(-8, 8, (K, N)).astype(np.int8)
+        sc = (rng.random((K // QBLOCK, N)) * 0.02 + 1e-3).astype(np.float32)
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        assert _pick_tiles(K // 2, N, max_bytes=1 << 20, M=M) is not None
+        got = np.asarray(quantized_matmul_q4(
+            jnp.asarray(x), jnp.asarray(pack_q4_nibbles(vals)),
+            jnp.asarray(sc), interpret=True))
+        xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16)
+                        .astype(jnp.float32))
+        want = xb @ (vals.astype(np.float32) * np.repeat(sc, QBLOCK, axis=0))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_q4_packed_matmul_matches_int8(rng):
     """int4 nibble-packed matmul == int8 path on the same Q4 values."""
     import numpy as np

@@ -104,17 +104,23 @@ def _qmm_kernel(x_ref, wq_ref, sc_ref, out_ref):
 
 
 def _qmv_kernel(xd_ref, wq_ref, sc_ref, out_ref):
-    """Decode (M == 1) stripe, restructured to keep the VPU off the critical
+    """Decode (small-M) stripe, restructured to keep the VPU off the critical
     path: the per-32-block scale structure moves into the dot's M dimension.
 
-    `xd` is the block-diagonal expansion of the activation row — xd[b, k] =
-    x[k] when k is in scale block b, else 0 — so ONE MXU matmul produces all
-    per-block partial sums p[b, n] (K/32 <= 128 rows ride the same systolic
-    pass a single row would), and the group scales apply at [K/32, TILE]
-    granularity: ~1/16 VPU op per weight instead of ~3 (dequant-into-f32 was
-    VPU-bound at 3B weights/step; this keeps the kernel HBM-bound).  The only
-    per-weight op left is the int8->bf16 convert feeding the MXU (int8 values
-    are exact in bf16's 8-bit mantissa).
+    `xd` is the block-diagonal expansion of the activation rows — for each of
+    the M rows, xd[b*M + m, k] = x[m, k] when k is in scale block b, else 0 —
+    so ONE MXU matmul produces all per-(row, block) partial sums
+    p[b*M + m, n] (M * K/32 rows ride the same systolic passes a single row
+    would), and the group scales apply at [K/32, TILE] granularity: ~M/16 VPU
+    ops per weight instead of ~3 (dequant-into-f32 was VPU-bound at 3B
+    weights/step; this keeps the kernel HBM-bound).  The only per-weight op
+    left is the int8->bf16 convert feeding the MXU (int8 values are exact in
+    bf16's 8-bit mantissa).  Rows are block-major (m fastest) so a K chunk
+    reads a CONTIGUOUS row range of xd.
+
+    M > 1 serves the CFG batch-2 decodes (dia/parler) and the speculative
+    verify forward; `_pick_tiles` shrinks the K chunk with M so the extra
+    MXU work stays under the weight-stream time (HBM-bound).
 
     Grid is (N tiles, K chunks) with K innermost: the output tile stays
     resident while partial sums accumulate, and the K chunking keeps the
@@ -122,10 +128,17 @@ def _qmv_kernel(xd_ref, wq_ref, sc_ref, out_ref):
     from jax.experimental import pallas as pl
 
     i_k = pl.program_id(1)
-    xd = xd_ref[:]                                 # [KT//32, KT] bf16 (diag chunk)
-    w = wq_ref[:].astype(jnp.bfloat16)             # [KT, TILE_N]
-    p = jnp.dot(xd, w, preferred_element_type=jnp.float32)   # [KT//32, TILE_N]
-    part = jnp.sum(p * _scales_f32(sc_ref[:]), axis=0, keepdims=True)
+    M = out_ref.shape[0]
+    xd = xd_ref[:]                          # [M * KT//32, KT] bf16 (diag chunk)
+    w = wq_ref[:].astype(jnp.bfloat16)      # [KT, TILE_N]
+    p = jnp.dot(xd, w, preferred_element_type=jnp.float32)  # [M*KT//32, TILE_N]
+    sc = _scales_f32(sc_ref[:])                             # [KT//32, TILE_N]
+    if M == 1:
+        part = jnp.sum(p * sc, axis=0, keepdims=True)
+    else:
+        bpc = p.shape[0] // M
+        p = p.reshape(bpc, M, p.shape[1])
+        part = jnp.sum(p * sc[:, None, :], axis=0)          # [M, TILE_N]
 
     @pl.when(i_k == 0)
     def _init():
@@ -137,32 +150,39 @@ def _qmv_kernel(xd_ref, wq_ref, sc_ref, out_ref):
 
 
 def _block_diag_x(x, kt: int | None = None):
-    """[1, K] -> [K//32, kt] bf16: row b holds x's scale-block b in its
-    32-wide window within b's K-chunk of width `kt` (kt == K gives the plain
-    block-diagonal).  Chunk i of the kernel grid reads rows
-    [i*kt/32, (i+1)*kt/32) — the compact form of the block-diagonal's
-    diagonal chunks."""
-    K = x.shape[-1]
+    """[M, K] -> [M * K//32, kt] bf16: row b*M + m holds x[m]'s scale-block b
+    in its 32-wide window within b's K-chunk of width `kt` (kt == K gives the
+    plain block-diagonal).  Rows are block-major so chunk i of the kernel
+    grid reads the CONTIGUOUS rows [i*M*kt/32, (i+1)*M*kt/32)."""
+    M, K = x.shape
     if kt is None:
         kt = K
     B, bpc = K // QBLOCK, kt // QBLOCK
     cols = jnp.arange(kt, dtype=jnp.int32)[None, :] // QBLOCK    # [1, kt]
     rows = jnp.arange(B, dtype=jnp.int32)[:, None] % bpc         # [B, 1]
-    xr = jnp.repeat(x.reshape(K // kt, kt), bpc, axis=0)         # [B, kt]
-    return jnp.where(cols == rows, xr.astype(jnp.bfloat16), 0)
+    xr = x.reshape(M, K // kt, kt)                               # [M, C, kt]
+    xr = jnp.repeat(xr, bpc, axis=1)                             # [M, B, kt]
+    xd = jnp.where(cols[None] == rows[None], xr.astype(jnp.bfloat16), 0)
+    # -> block-major rows: [B, M, kt] -> [B*M, kt]
+    return xd.transpose(1, 0, 2).reshape(B * M, kt)
 
 
-def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21):
+def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21, M: int = 1):
     """(kt, tn) for the decode kernels: both divide their dims, and BOTH the
     weight tile (kt*tn bytes) and the block-diagonal activation tile
-    (kt^2/16 bytes bf16, see `_block_diag_x`) stay under `max_bytes` so
-    Pallas double-buffering fits VMEM."""
+    (M*kt^2/16 bytes bf16, see `_block_diag_x`) stay under `max_bytes` so
+    Pallas double-buffering fits VMEM.  For M > 1 the K chunk additionally
+    shrinks so the MXU work per weight byte (~M*kt/32 MACs) stays below the
+    HBM stream rate — the kernel must remain weight-bandwidth-bound."""
     tn = next((t for t in (1024, 512, 256) if N % t == 0), None)
     if tn is None:
         return None
+    # M*kt <= 4096 keeps MACs/weight-byte < ~128 (v5e: ~118 is the
+    # bf16-MXU/HBM break-even); M == 1 keeps the round-2 tiling
+    kt_cap = 8192 if M == 1 else max(4096 // M, 256)
     for kt in (8192, 6144, 4096, 3072, 2048, 1536, 1024, 512, 256):
-        if (kt <= K and K % kt == 0 and kt * tn <= max_bytes
-                and kt * kt // 16 <= max_bytes):
+        if (kt <= min(K, kt_cap) and K % kt == 0 and kt * tn <= max_bytes
+                and M * kt * kt // 16 <= max_bytes):
             return kt, tn
     return None
 
@@ -184,16 +204,17 @@ def quantized_matmul(x, wq, scales, *, tile_n: int = 256, interpret: bool | None
         # the models, so this path is rare)
         return quantized_matmul_ref(x, wq, scales)
 
-    # decode fast path: K/32 partial-sum rows ride the MXU almost for free
-    # (up to a couple of 128-row passes); K chunks keep VMEM bounded
-    tiles = _pick_tiles(K, N) if M == 1 else None
+    # decode fast path (M <= 8): M*K/32 partial-sum rows ride the MXU almost
+    # for free (a few 128-row passes); K chunks keep VMEM bounded and the
+    # kernel HBM-bound
+    tiles = _pick_tiles(K, N, M=M) if M <= 8 else None
     if tiles is not None:
         kt, tn = tiles
         return pl.pallas_call(
             _qmv_kernel,
             grid=(N // tn, K // kt),
             in_specs=[
-                pl.BlockSpec((kt // QBLOCK, kt), lambda j, i: (i, 0)),
+                pl.BlockSpec((M * kt // QBLOCK, kt), lambda j, i: (i, 0)),
                 pl.BlockSpec((kt, tn), lambda j, i: (i, j)),
                 pl.BlockSpec((kt // QBLOCK, tn), lambda j, i: (i, j)),
             ],
@@ -281,10 +302,11 @@ def _qmm4_kernel(x_ref, wq_ref, sc_ref, out_ref):
 
 
 def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
-    """Decode (M == 1) int4 stripe with the block-diag restructure of
+    """Decode (small-M) int4 stripe with the block-diag restructure of
     `_qmv_kernel`: per-nibble-plane block-diag activations -> two MXU dots ->
     group scales applied at [K/32, TILE] granularity.  VPU work is the nibble
     unpack + bf16 convert (~3 ops/weight), overlapped with the HBM stream.
+    M > 1 rows stack block-major exactly as in `_qmv_kernel`.
 
     Grid is (N tiles, packed-K chunks) with K innermost (accumulating output
     tile).  Chunking also bounds the block-diag MXU waste, which grows with
@@ -295,14 +317,22 @@ def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
     from jax.experimental import pallas as pl
 
     i_k = pl.program_id(1)
+    M = out_ref.shape[0]
     p32 = wq_ref[:].astype(jnp.int32)               # [KTH, TILE]
     lo, hi = _unpack_nibbles_f32(p32)
     p_lo = jnp.dot(xdlo_ref[:], lo.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)   # [KTH/32, TILE]
+                   preferred_element_type=jnp.float32)   # [M*KTH/32, TILE]
     p_hi = jnp.dot(xdhi_ref[:], hi.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
-    part = (jnp.sum(p_lo * _scales_f32(sclo_ref[:]), axis=0, keepdims=True)
-            + jnp.sum(p_hi * _scales_f32(schi_ref[:]), axis=0, keepdims=True))
+    sc_lo = _scales_f32(sclo_ref[:])
+    sc_hi = _scales_f32(schi_ref[:])
+    if M == 1:
+        part = (jnp.sum(p_lo * sc_lo, axis=0, keepdims=True)
+                + jnp.sum(p_hi * sc_hi, axis=0, keepdims=True))
+    else:
+        bpc = p_lo.shape[0] // M
+        part = (jnp.sum(p_lo.reshape(bpc, M, -1) * sc_lo[:, None, :], axis=0)
+                + jnp.sum(p_hi.reshape(bpc, M, -1) * sc_hi[:, None, :], axis=0))
 
     @pl.when(i_k == 0)
     def _init():
@@ -332,18 +362,18 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
             _unpack_nibbles(wq4).astype(jnp.float32)
             * jnp.repeat(_scales_f32(scales), QBLOCK, axis=0))
 
-    tiles = _pick_tiles(K // 2, N, max_bytes=1 << 20) if M == 1 else None
+    tiles = _pick_tiles(K // 2, N, max_bytes=1 << 20, M=M) if M <= 8 else None
     if tiles is not None:
         kth, tn = tiles
         hi_off = K // (2 * kth)        # chunk-row offset of the high-nibble
-        xlo = _block_diag_x(x[:, : K // 2], kth)     # [K/64, KTH]
+        xlo = _block_diag_x(x[:, : K // 2], kth)     # [M*K/64, KTH]
         xhi = _block_diag_x(x[:, K // 2 :], kth)
         return pl.pallas_call(
             _qmv4_kernel,
             grid=(N // tn, Kh // kth),
             in_specs=[
-                pl.BlockSpec((kth // QBLOCK, kth), lambda j, i: (i, 0)),
-                pl.BlockSpec((kth // QBLOCK, kth), lambda j, i: (i, 0)),
+                pl.BlockSpec((M * kth // QBLOCK, kth), lambda j, i: (i, 0)),
+                pl.BlockSpec((M * kth // QBLOCK, kth), lambda j, i: (i, 0)),
                 pl.BlockSpec((kth // QBLOCK, tn), lambda j, i: (i, j)),
                 pl.BlockSpec((kth // QBLOCK, tn),
                              lambda j, i: (i + hi_off, j)),
