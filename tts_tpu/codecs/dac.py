@@ -127,6 +127,7 @@ class DACDecoder:
     # +/-39/8, transposed-conv kernels +/-~1 each, deeper layers sub-frame;
     # 16 gives margin (verified by test_dac_streaming_window)
     RECEPTIVE_FRAMES = 16
+    device_arrays = ("params",)
 
     def __init__(self, cfg: DACConfig, params: dict):
         self.cfg = cfg

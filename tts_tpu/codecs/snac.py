@@ -139,6 +139,7 @@ class SNACDecoder:
     """Host wrapper: three token lists at rates x4/x2/x1 -> float32 PCM."""
 
     sample_rate = 24000
+    device_arrays = ("params",)
 
     def __init__(self, cfg: SNACConfig, params: dict):
         self.cfg = cfg

@@ -398,6 +398,8 @@ def adjust_output_tokens(output: np.ndarray, cfg: DiaConfig) -> np.ndarray:
 class DiaRunner(TTSRunner):
     sample_rate = 44100
     architecture = "dia"
+    device_arrays = ("params", "_cache")
+    device_components = ("dac",)
 
     def __init__(self, cfg: DiaConfig, params: dict, dac: DACDecoder,
                  config: GenerationConfig):

@@ -665,6 +665,8 @@ def pick_bucket(n: int, buckets) -> int:
 class KokoroModel:
     """Device-facing model state: config + params + jit caches."""
 
+    device_arrays = ("params", "window")
+
     def __init__(self, cfg: KokoroConfig, params: dict):
         self.cfg = cfg
         self.params = params
@@ -776,5 +778,11 @@ class KokoroModel:
         # audio + total + peak arrive in ONE int16 transfer, unpacked
         # host-side; total can only exceed F if it exceeds the largest
         # bucket (clamped truncation)
+        if total > F:
+            import logging
+            logging.getLogger("tts_tpu").warning(
+                "kokoro: predicted %d frames exceeds the largest bucket (%d); "
+                "audio truncated — split the input text into shorter chunks",
+                total, F)
         n = min(total, F) * cfg.up_sampling_factor
         return pcm[:n].astype(np.float32) * (peak / 32767.0)

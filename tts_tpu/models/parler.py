@@ -353,6 +353,8 @@ def adjust_output_tokens(output: np.ndarray, cfg: ParlerConfig) -> np.ndarray:
 class ParlerRunner(TTSRunner):
     sample_rate = 44100
     architecture = "parler-tts"
+    device_arrays = ("params", "cross_kv", "_cache")
+    device_components = ("dac",)
 
     def __init__(self, cfg: ParlerConfig, params: dict, tokenizer: UnigramTokenizer,
                  dac: DACDecoder, config: GenerationConfig):

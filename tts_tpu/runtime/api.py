@@ -65,6 +65,10 @@ class TTSRunner:
 
     sample_rate: int = 44100
     architecture: str = "unknown"
+    # Device-state declarations for parallel/serving.move_to_device:
+    # attribute names holding jax-array pytrees / nested components.
+    device_arrays: tuple = ()
+    device_components: tuple = ()
 
     def generate(self, text: str, config: GenerationConfig | None = None) -> TTSResponse:
         raise NotImplementedError
