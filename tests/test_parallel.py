@@ -129,6 +129,54 @@ def test_orpheus_tp_e2e_matches_unsharded(tmp_path):
     np.testing.assert_allclose(a0.audio, a1.audio, atol=1e-5)
 
 
+@pytest.mark.parametrize("tp", [2, 4])
+def test_orpheus_tp_shards_quantized_weights(tmp_path, tp):
+    """TP of the realistic (quantized) deployment: a Q8-packed Orpheus with
+    head_size 128 (the flash gate is LIVE) shards its wq/scales across the
+    'tp' axis via shard_map — greedy tokens equal the unsharded runner's.
+    VERDICT r2 item 2 + ADVICE r2 (flash-gate coverage under TP)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tts_tpu.apps.quantize import main as quantize_main
+    from tts_tpu.convert.builder_orpheus import write_orpheus_gguf
+    from tts_tpu.models.registry import runner_from_file
+    from tts_tpu.runtime.api import GenerationConfig
+
+    f32 = str(tmp_path / "orpheus_f32.gguf")
+    q8 = str(tmp_path / "orpheus_q8.gguf")
+    write_orpheus_gguf(f32, seed=0, hidden=128, heads=4, kv_heads=4,
+                       head_dim=128, ffn=256)
+    assert quantize_main(["--model-path", f32, "--quantized-model-path", q8,
+                          "--quantized-type", "Q8_0",
+                          "--quantize-output-heads"]) == 0
+    cfg = GenerationConfig(sample=False, seed=0, max_tokens=24, voice="zoe")
+
+    r0 = runner_from_file(q8, cfg)
+    assert "wq" in r0.params["layers"][0]["qkv"]   # quantized load
+    a0 = r0.generate("hello world", cfg)
+
+    mesh = Mesh(np.array(jax.devices()[:tp]), axis_names=("tp",))
+    r1 = runner_from_file(q8, cfg, mesh=mesh)
+    assert r1.cfg.tp == tp
+    # flash survives TP only with >=2 local KV heads (4 kv heads: tp=2 yes)
+    assert r1.cfg.use_flash_attn == (tp == 2)
+    # quantized weights actually sharded, not replicated
+    q_wq = r1.params["layers"][0]["q"]["wq"]
+    assert "tp" in str(q_wq.sharding.spec)
+    shard_shapes = {s.data.shape for s in q_wq.addressable_shards}
+    assert (q_wq.shape[0], q_wq.shape[1] // tp) in shard_shapes
+    sc = r1.params["layers"][0]["q"]["scales"]
+    assert "tp" in str(sc.sharding.spec)
+    # row-parallel: o/down shard the input dim
+    o_wq = r1.params["layers"][0]["o"]["wq"]
+    o_shapes = {s.data.shape for s in o_wq.addressable_shards}
+    assert (o_wq.shape[0] // tp, o_wq.shape[1]) in o_shapes
+    a1 = r1.generate("hello world", cfg)
+    assert len(a0.audio) == len(a1.audio) > 0
+    np.testing.assert_allclose(a0.audio, a1.audio, atol=1e-5)
+
+
 def test_mesh_rejected_for_non_tp_architecture():
     from tts_tpu.models.registry import runner_from_file
     from tts_tpu.runtime.api import TTSError
@@ -178,6 +226,29 @@ def test_data_parallel_replica_placement(tmp_path):
     a1 = r1.generate("hello world", cfg)
     np.testing.assert_array_equal(a0.audio, a1.audio)
     assert len(a0.audio) > 0
+
+
+def test_move_to_device_rejects_undeclared_arrays(tmp_path):
+    """move_to_device walks DECLARED device attrs only — and raises loudly if
+    a runner grows an undeclared attribute holding jax arrays (anti-rot)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
+    from tts_tpu.models.registry import runner_from_file
+    from tts_tpu.parallel.serving import move_to_device
+    from tts_tpu.runtime.api import GenerationConfig
+
+    path = str(tmp_path / "k.gguf")
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    runner = runner_from_file(path, GenerationConfig(voice="af_heart"))
+    move_to_device(runner, jax.devices()[1])
+    assert runner.model.params["albert"]["token_embd"].devices() == {jax.devices()[1]}
+    assert runner.model.window.devices() == {jax.devices()[1]}
+    runner.surprise = {"w": jnp.zeros(3)}   # undeclared device state
+    with pytest.raises(RuntimeError, match="surprise"):
+        move_to_device(runner, jax.devices()[0])
 
 
 def test_server_data_parallel_routing(tmp_path):

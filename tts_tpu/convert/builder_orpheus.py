@@ -48,6 +48,11 @@ def build_orpheus_tensors(rng: np.random.Generator, *, n_layers: int = 2,
         "orpheus.head_dim": head_dim,
         "orpheus.vocab_size": vocab,
         "orpheus.stopping_token_id": 128258,
+        # random weights can't respect the position-dependent SNAC
+        # sub-codebook ranges; fold codes into range instead of dropping
+        # frames so plumbing tests still produce audio (real converted
+        # checkpoints never set this)
+        "orpheus.lenient_audio_codes": 1,
         "tokenizer.ggml.bos_token_id": 128000,
         "tokenizer.ggml.eos_token_id": 128009,
     }
