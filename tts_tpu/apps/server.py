@@ -29,12 +29,10 @@ import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from tts_tpu.apps.web_ui import INDEX_HTML
 from tts_tpu.models.registry import runner_from_file
 from tts_tpu.runtime.api import GenerationConfig, TTSError
 from tts_tpu.utils.audio import encode_aiff, encode_wav
-
-INDEX_HTML = b"""<!doctype html><title>tts_tpu server</title>
-<h1>tts_tpu</h1><p>POST /v1/audio/speech with {"input": "text to speak"}</p>"""
 
 
 def error_json(message: str, etype: str = "invalid_request_error", code: int = 400):
@@ -113,11 +111,14 @@ class ServerState:
                 runner, lock = self._get_runner(task["model"], wid)
                 if task["kind"] == "tts_stream":
                     chunks = task["chunks"]
+                    cancel = task.get("cancel")
                     try:
                         with lock:
                             if hasattr(runner, "generate_stream"):
                                 for piece in runner.generate_stream(
                                         task["prompt"], task["config"]):
+                                    if cancel is not None and cancel.is_set():
+                                        break  # client gone / timed out
                                     chunks.put(piece)
                             else:
                                 resp = runner.generate(task["prompt"], task["config"])
@@ -248,45 +249,72 @@ def make_handler(state: ServerState):
             if model not in state.model_paths:
                 self._send_json(*error_json(f"Invalid Model: {model}"))
                 return
-            cfg = GenerationConfig(
-                temperature=float(data.get("temperature", state.default_config.temperature)),
-                top_k=int(data.get("top_k", state.default_config.top_k)),
-                top_p=float(data.get("top_p", state.default_config.top_p)),
-                repetition_penalty=float(data.get("repetition_penalty",
-                                                  state.default_config.repetition_penalty)),
-                voice=data.get("voice", state.default_config.voice),
-            )
+            try:
+                cfg = GenerationConfig(
+                    temperature=float(data.get("temperature", state.default_config.temperature)),
+                    top_k=int(data.get("top_k", state.default_config.top_k)),
+                    top_p=float(data.get("top_p", state.default_config.top_p)),
+                    repetition_penalty=float(data.get("repetition_penalty",
+                                                      state.default_config.repetition_penalty)),
+                    voice=data.get("voice", state.default_config.voice),
+                    max_tokens=int(data.get("max_tokens",
+                                            state.default_config.max_tokens)),
+                    sample=bool(data.get("sample", state.default_config.sample)),
+                    seed=(int(data["seed"]) if data.get("seed") is not None
+                          else state.default_config.seed),
+                )
+            except (TypeError, ValueError) as e:
+                self._send_json(*error_json(f"invalid sampling parameter: {e}"))
+                return
             if fmt == "pcm":
                 # chunked-transfer stream of 16-bit little-endian PCM; first
-                # chunk arrives at time-to-first-audio
+                # chunk arrives at time-to-first-audio.  `cancel` stops the
+                # worker's generation loop if the client disconnects or the
+                # per-chunk request timeout lapses (the reference's pooled
+                # tasks have no such guard; without it a gone client pins a
+                # worker until the utterance completes).
                 import numpy as _np
 
                 chunks: queue.Queue = queue.Queue()
+                cancel = threading.Event()
                 t_req = time.perf_counter()
                 state.tasks.put({"id": uuid.uuid4().hex, "kind": "tts_stream",
                                  "model": model, "prompt": data["input"],
-                                 "config": cfg, "chunks": chunks})
+                                 "config": cfg, "chunks": chunks,
+                                 "cancel": cancel})
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/pcm")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
                 ttfa_ms = None
                 n_samples = 0
-                while True:
-                    piece = chunks.get()
-                    if piece is None:
-                        break
-                    if ttfa_ms is None:
-                        ttfa_ms = (time.perf_counter() - t_req) * 1e3
-                    n_samples += len(piece)
-                    pcm = (_np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
-                    if pcm:
-                        self.wfile.write(f"{len(pcm):X}\r\n".encode())
-                        self.wfile.write(pcm)
-                        self.wfile.write(b"\r\n")
-                self.wfile.write(b"0\r\n\r\n")
+                status = "done"
+                try:
+                    while True:
+                        try:
+                            piece = chunks.get(timeout=state.request_timeout)
+                        except queue.Empty:
+                            status = "timeout"
+                            break
+                        if piece is None:
+                            break
+                        if ttfa_ms is None:
+                            ttfa_ms = (time.perf_counter() - t_req) * 1e3
+                        n_samples += len(piece)
+                        pcm = (_np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
+                        if pcm:
+                            self.wfile.write(f"{len(pcm):X}\r\n".encode())
+                            self.wfile.write(pcm)
+                            self.wfile.write(b"\r\n")
+                    if status == "done":
+                        self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    status = "client disconnected"
+                finally:
+                    if status != "done":
+                        cancel.set()      # stop the worker's generation loop
                 wall = time.perf_counter() - t_req
-                print(f"[srv] stream done: ttfa={ttfa_ms and round(ttfa_ms, 1)} ms "
+                print(f"[srv] stream {status}: ttfa={ttfa_ms and round(ttfa_ms, 1)} ms "
                       f"samples={n_samples} wall={wall * 1e3:.1f} ms",
                       file=sys.stderr)
                 return
@@ -335,6 +363,24 @@ def make_handler(state: ServerState):
     return Handler
 
 
+def wrap_ssl(server, cert_file: str, key_file: str) -> str:
+    """Serve HTTPS when a PEM cert+key pair is given (parity:
+    server.cpp:465-475 httplib::SSLServer).  Returns the URL scheme."""
+    if not cert_file and not key_file:
+        return "http"
+    if not (cert_file and key_file):
+        raise SystemExit("--ssl-file-cert and --ssl-file-key must be "
+                         "passed together")
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert_file, key_file)
+    server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    print(f"Running with SSL: key = {key_file}, cert = {cert_file}",
+          file=sys.stderr)
+    return "https"
+
+
 def discover_models(path: str) -> dict[str, str]:
     if os.path.isdir(path):
         out = {}
@@ -371,6 +417,11 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="load the default model and synthesize a short "
                         "utterance before serving")
+    # HTTPS (parity: server.cpp:425-426, 465-475 httplib::SSLServer)
+    p.add_argument("--ssl-file-cert", "-sfc", default="",
+                   help="local path to the PEM encoded ssl cert")
+    p.add_argument("--ssl-file-key", "-sfk", default="",
+                   help="local path to the PEM encoded ssl private key")
     args = p.parse_args(argv)
 
     default_config = GenerationConfig(
@@ -390,7 +441,8 @@ def main(argv=None):
         print(f"warmup {'ok' if result['success'] else 'FAILED: ' + result['message']}",
               file=sys.stderr)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
-    print(f"tts-server listening on http://{args.host}:{args.port} "
+    scheme = wrap_ssl(server, args.ssl_file_cert, args.ssl_file_key)
+    print(f"tts-server listening on {scheme}://{args.host}:{args.port} "
           f"(models: {', '.join(models)})", file=sys.stderr)
     try:
         server.serve_forever()
