@@ -49,13 +49,118 @@ def available() -> bool:
         return False
 
 
+class _EspeakVoice(ctypes.Structure):
+    # espeak_VOICE (speak_lib.h): we only read name/identifier
+    _fields_ = [("name", ctypes.c_char_p), ("languages", ctypes.c_char_p),
+                ("identifier", ctypes.c_char_p), ("gender", ctypes.c_ubyte),
+                ("age", ctypes.c_ubyte), ("variant", ctypes.c_ubyte),
+                ("xx1", ctypes.c_ubyte), ("score", ctypes.c_int),
+                ("spare", ctypes.c_void_p)]
+
+
+def list_voice_inventory() -> list[tuple[str, str]]:
+    """[(name, identifier), ...] from espeak_ListVoices (NULL spec — the
+    reference passes no voice_spec because specs don't support partial codes;
+    phonemizer.cpp:178-180)."""
+    lib = _load()
+    lib.espeak_ListVoices.restype = ctypes.POINTER(ctypes.POINTER(_EspeakVoice))
+    voices = lib.espeak_ListVoices(None)
+    out = []
+    i = 0
+    while voices[i]:
+        v = voices[i].contents
+        out.append(((v.name or b"").decode("utf-8", "replace"),
+                    (v.identifier or b"").decode("utf-8", "replace")))
+        i += 1
+    return out
+
+
+def parse_voice_code(voice_code: str, voices: list[tuple[str, str]]) -> str:
+    """Fuzzy-match a user voice code against the espeak voice inventory and
+    return the matched identifier (parity: phonemizer.cpp:163-248
+    parse_voice_code).  `voices` is [(name, identifier), ...].
+
+    Search mode is chosen from the code's shape: 2 chars = language code
+    ("en"), 3 chars = language-family code ("gmw"), contains "/" = identifier
+    prefix ("gmw/en-us"), contains "-"/"_" = locale code ("en-gb"); anything
+    else falls through to a name-substring search.  Shorter identifiers win
+    ties (more-generic locales preferred).  NOTE(parity): the reference's
+    single-part-identifier branch falls through to an out-of-bounds
+    identifier_parts[1] read when the identifier has no "/"; we implement the
+    intent (match, then move to the next voice)."""
+    vc = voice_code.lower()
+    by_lc = len(vc) == 2
+    by_lfc = not by_lc and len(vc) == 3
+    by_id = not by_lfc and not by_lc and "/" in vc
+    by_lcc = not by_id and not by_lfc and not by_lc and ("-" in vc or "_" in vc)
+    if by_id or by_lcc:
+        vc = vc.replace("_", "-")
+
+    primary: tuple[str, str] | None = None
+    secondary: tuple[str, str] | None = None
+
+    def better(cur, cand):
+        return cur is None or len(cur[1]) > len(cand[1])
+
+    for name, identifier in voices:
+        parts = identifier.split("/")
+        if len(parts) == 1:
+            if vc == parts[0] or vc == name:
+                primary = (name, identifier)
+            continue
+        if by_lc:
+            lang = parts[1]
+            if lang == vc:
+                primary = (name, identifier)
+                break  # exact match
+            if lang.startswith(vc):
+                if better(primary, (name, identifier)):
+                    primary = (name, identifier)
+            else:
+                sub = lang.split("-")
+                # country codes are typically capitalized in espeak-ng
+                if (len(sub) > 1 and sub[1].lower() == vc
+                        and better(secondary, (name, identifier))):
+                    secondary = (name, identifier)
+        elif by_lfc:
+            # prefer ISO 639-3 language-code prefix over family-code match
+            if parts[1].startswith(vc):
+                if better(primary, (name, identifier)):
+                    primary = (name, identifier)
+            elif parts[0] == vc and better(secondary, (name, identifier)):
+                secondary = (name, identifier)
+        elif by_id and identifier.lower().startswith(vc):
+            if better(primary, (name, identifier)):
+                primary = (name, identifier)
+        elif by_lcc and parts[1].lower().startswith(vc):
+            if better(primary, (name, identifier)):
+                primary = (name, identifier)
+        elif vc in name.lower():
+            if better(primary, (name, identifier)):
+                primary = (name, identifier)
+    match = primary or secondary
+    if match is None:
+        raise TTSError(
+            f"Failed to match espeak voice code '{voice_code}' to known "
+            f"espeak voices.")
+    return match[1]
+
+
+def _set_voice(lib, voice: str):
+    """SetVoiceByName, falling back to fuzzy inventory resolution (parity:
+    phonemizer.cpp:250-260 update_voice)."""
+    if lib.espeak_SetVoiceByName(voice.encode()) != 0:   # != EE_OK
+        resolved = parse_voice_code(voice, list_voice_inventory())
+        lib.espeak_SetVoiceByName(resolved.encode())
+
+
 def _ensure_init(voice: str):
     global _initialized
     lib = _load()
     if not _initialized:
         lib.espeak_Initialize(AUDIO_OUTPUT_SYNCHRONOUS, 0, None, 0)
         _initialized = True
-    lib.espeak_SetVoiceByName(voice.encode())
+    _set_voice(lib, voice)
 
 
 def espeak_text_to_phonemes(text: str, voice: str = "gmw/en-US",
