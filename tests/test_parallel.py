@@ -276,3 +276,33 @@ def test_server_data_parallel_routing(tmp_path):
         assert isinstance(key, tuple)
         devs |= runner.model.params["albert"]["token_embd"].devices()
     assert len(devs) >= 2
+
+
+def test_server_dp_tp_composed(tmp_path):
+    """DP x TP: ServerState(data_parallel=True, tensor_parallel=2) places
+    replicas on DISJOINT 2-chip tp meshes and serves identical audio from
+    each — SURVEY §2.9(b)+(c) composed in one deployment."""
+    from tts_tpu.apps.server import ServerState
+    from tts_tpu.convert.builder_orpheus import write_orpheus_gguf
+    from tts_tpu.runtime.api import GenerationConfig
+
+    path = str(tmp_path / "o.gguf")
+    write_orpheus_gguf(path, seed=0, hidden=128, heads=4, kv_heads=4,
+                       head_dim=32, ffn=256)
+    cfg = GenerationConfig(sample=False, seed=0, max_tokens=22, voice="zoe")
+    state = ServerState({"o": path}, cfg, n_parallelism=2, data_parallel=True,
+                        tensor_parallel=2)
+    results = [state.submit({"kind": "tts", "model": "o", "prompt": "hi",
+                             "config": cfg}) for _ in range(4)]
+    assert all(r["success"] for r in results), [r["message"] for r in results]
+    lens = {len(r["audio"]) for r in results}
+    assert len(lens) == 1 and lens.pop() > 0
+    # >= 2 replicas, each sharded over its own DISJOINT 2-device mesh
+    replica_devs = []
+    for key, runner in state._runners.items():
+        assert isinstance(key, tuple)
+        devs = runner.params["embd"].devices()
+        assert len(devs) == 2          # tp=2: params span the replica's mesh
+        replica_devs.append(frozenset(devs))
+    assert len(replica_devs) >= 2
+    assert len(frozenset.union(*replica_devs)) == 2 * len(replica_devs)

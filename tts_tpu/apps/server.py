@@ -51,7 +51,7 @@ class ServerState:
 
     def __init__(self, model_paths: dict[str, str], default_config: GenerationConfig,
                  n_parallelism: int = 1, request_timeout: float = 1800.0,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False, tensor_parallel: int = 1):
         self.model_paths = model_paths
         self.default_model = next(iter(model_paths))
         self.default_config = default_config
@@ -59,8 +59,10 @@ class ServerState:
         self.data_parallel = data_parallel
         self._devices = None
         if data_parallel:
-            from tts_tpu.parallel.serving import serving_devices
-            self._devices = serving_devices()
+            # with tensor_parallel > 1 each replica target is a disjoint
+            # ('tp',) mesh instead of a single chip (DP x TP composition)
+            from tts_tpu.parallel.serving import replica_meshes
+            self._devices = replica_meshes(tensor_parallel)
         self.tasks: queue.Queue = queue.Queue()
         self.results: dict[str, dict] = {}
         self.abandoned: set[str] = set()      # ids whose submitter timed out
@@ -406,6 +408,9 @@ def main(argv=None):
     p.add_argument("--data-parallel", action="store_true",
                    help="commit one model replica per visible chip and route "
                         "workers across them (multi-chip request parallelism)")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="with --data-parallel: shard each replica across this "
+                        "many chips (disjoint tp meshes; DP x TP composition)")
     p.add_argument("--voice", "-v", default="")
     p.add_argument("--temperature", "-t", type=float, default=1.0)
     p.add_argument("--topk", "-tk", type=int, default=50)
@@ -433,7 +438,8 @@ def main(argv=None):
         models = discover_models(args.model_path)
     state = ServerState(models, default_config, args.n_parallelism,
                         request_timeout=args.request_timeout,
-                        data_parallel=args.data_parallel)
+                        data_parallel=args.data_parallel,
+                        tensor_parallel=args.tensor_parallel)
     if args.warmup:
         print("warming up (model load + compile)...", file=sys.stderr)
         result = state.submit({"kind": "tts", "model": state.default_model,

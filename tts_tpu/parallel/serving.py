@@ -54,12 +54,18 @@ def move_to_device(obj, device) -> None:
                 f"are fully committed to their chip")
 
 
-def load_replica(model_path: str, config, device):
-    """Load a runner and commit its weights to `device`."""
+def load_replica(model_path: str, config, target):
+    """Load a runner committed to `target`: a single Device (weights
+    device_put there) or a Mesh (tensor-parallel placement via the model's
+    make_tp_context — params arrive sharded, nothing to move afterwards)."""
+    from jax.sharding import Mesh
+
     from tts_tpu.models.registry import runner_from_file
 
+    if isinstance(target, Mesh):
+        return runner_from_file(model_path, config, mesh=target)
     runner = runner_from_file(model_path, config)
-    move_to_device(runner, device)
+    move_to_device(runner, target)
     return runner
 
 
@@ -67,3 +73,28 @@ def serving_devices(n: int | None = None):
     """The devices to spread replicas over (all visible chips by default)."""
     devices = jax.devices()
     return devices[: n or len(devices)]
+
+
+def replica_meshes(tensor_parallel: int, n_replicas: int | None = None):
+    """DP x TP composition (SURVEY §2.9(b)+(c)): partition the visible chips
+    into disjoint ('tp',) meshes of `tensor_parallel` chips each — one mesh
+    per replica, so request-level data parallelism routes across replicas
+    while each replica's model shards across its own chips (collectives stay
+    inside the group and ride ICI).  tensor_parallel=1 degrades to plain
+    per-chip replicas."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    tp = max(tensor_parallel, 1)
+    if tp == 1:
+        return serving_devices(n_replicas)
+    devices = jax.devices()
+    n_groups = len(devices) // tp
+    if n_groups == 0:
+        raise ValueError(
+            f"tensor_parallel={tp} needs at least {tp} devices; "
+            f"{len(devices)} visible")
+    if n_replicas is not None:
+        n_groups = min(n_groups, n_replicas)
+    return [Mesh(np.asarray(devices[g * tp:(g + 1) * tp]), axis_names=("tp",))
+            for g in range(n_groups)]
