@@ -167,19 +167,25 @@ def _block_diag_x(x, kt: int | None = None):
     return xd.transpose(1, 0, 2).reshape(B * M, kt)
 
 
-def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21, M: int = 1):
+def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21, M: int = 1,
+                macs_cap: int = 4096):
     """(kt, tn) for the decode kernels: both divide their dims, and BOTH the
     weight tile (kt*tn bytes) and the block-diagonal activation tile
     (M*kt^2/16 bytes bf16, see `_block_diag_x`) stay under `max_bytes` so
     Pallas double-buffering fits VMEM.  For M > 1 the K chunk additionally
-    shrinks so the MXU work per weight byte (~M*kt/32 MACs) stays below the
-    HBM stream rate — the kernel must remain weight-bandwidth-bound."""
+    shrinks so the MXU work per weight BYTE stays below the HBM stream rate
+    — the kernel must remain weight-bandwidth-bound.
+
+    The expansion does M*kt/32 MACs per weight ELEMENT; v5e break-even is
+    ~118 MACs per weight BYTE (197 TFLOP/s bf16 vs 819 GB/s).  `macs_cap`
+    encodes the per-format budget as a bound on M*kt: int8 (1 B/elem) takes
+    the default 4096 (~128 MACs/B); int4 (0.5 B/elem) must pass 2048 —
+    measured: the spec-decode verify forward (M=8) at the int8 cap ran the
+    int4 kernels 2x past break-even, ~19 ms per T=8 step."""
     tn = next((t for t in (1024, 512, 256) if N % t == 0), None)
     if tn is None:
         return None
-    # M*kt <= 4096 keeps MACs/weight-byte < ~128 (v5e: ~118 is the
-    # bf16-MXU/HBM break-even); M == 1 keeps the round-2 tiling
-    kt_cap = 8192 if M == 1 else max(4096 // M, 256)
+    kt_cap = 8192 if M == 1 else max(macs_cap // M, 256)
     for kt in (8192, 6144, 4096, 3072, 2048, 1536, 1024, 512, 256):
         if (kt <= min(K, kt_cap) and K % kt == 0 and kt * tn <= max_bytes
                 and M * kt * kt // 16 <= max_bytes):
@@ -362,7 +368,8 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
             _unpack_nibbles(wq4).astype(jnp.float32)
             * jnp.repeat(_scales_f32(scales), QBLOCK, axis=0))
 
-    tiles = _pick_tiles(K // 2, N, max_bytes=1 << 20, M=M) if M <= 8 else None
+    tiles = (_pick_tiles(K // 2, N, max_bytes=1 << 20, M=M, macs_cap=2048)
+             if M <= 8 else None)
     if tiles is not None:
         kth, tn = tiles
         hi_off = K // (2 * kth)        # chunk-row offset of the high-nibble
