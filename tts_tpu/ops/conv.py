@@ -18,10 +18,35 @@ def conv1d(x, w, b=None, *, stride: int = 1, padding: int = 0, dilation: int = 1
     """x: [T, C_in], w: [C_out, C_in/groups, K] -> [T_out, C_out].
 
     Same semantics as torch Conv1d / ggml_conv_1d: symmetric zero padding.
+
+    Ungrouped convs lower as K shifted [T,C]@[C,C] matmuls accumulated in
+    f32 — the pure MXU form.  Measured (tools/kokoro_conv_ab.py, v5e, shape
+    [23040,128] k7): lax-conv NCH 95 us/op, NWC 78 us, shifted-matmul 3-36 us
+    — the XLA conv lowering never reaches the MXU bound at TTS channel
+    counts, while static shifted slices of one padded buffer fuse into the
+    matmul operand loads.  f32 accumulation across taps is also *more*
+    accurate than the bf16-out conv it replaces.
     """
-    # NCH layout: measured faster end-to-end on v5e than NWC here — XLA fuses
-    # the surrounding elementwise chains far better in this layout (an NWC
-    # variant cut the transpose copies but made loop fusions ~5x slower/op)
+    if groups == 1:
+        k = w.shape[-1]
+        T = x.shape[0]
+        span = dilation * (k - 1)
+        T_out = (T + 2 * padding - span - 1) // stride + 1
+        need = (T_out - 1) * stride + span + 1          # padded length consumed
+        xp = jnp.pad(x, ((padding, max(0, need - T - padding)), (0, 0)))
+        wt = w.transpose(2, 1, 0).astype(x.dtype)       # [K, C_in, C_out]
+        lim = (T_out - 1) * stride + 1
+        acc = None
+        for j in range(k):
+            s0 = j * dilation
+            sl = lax.slice(xp, (s0, 0), (s0 + lim, x.shape[1]), (stride, 1))
+            term = lax.dot(sl, wt[j], preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        if b is not None:
+            acc = acc + b.astype(jnp.float32)
+        return acc.astype(x.dtype)
+    # grouped/depthwise: one XLA conv (a per-group Python split would emit
+    # `groups` separate convs into the graph)
     lhs = x.T[None]                      # [1, C_in, T]
     out = lax.conv_general_dilated(
         lhs, w.astype(x.dtype),

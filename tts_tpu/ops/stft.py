@@ -43,22 +43,35 @@ def frame_signal(x, n_fft: int, hop: int, n_frames: int):
 def stft(x, window, n_fft: int, hop: int):
     """x: [T] -> (magnitude [F, bins], phase [F, bins]), F = T//hop + 1.
 
-    Implemented as one strided convolution with windowed DFT kernels — the
-    framing gather is folded into the conv, which XLA compiles and runs far
-    better than an explicit gather at megasample lengths."""
+    Framing is hop-phase slicing: when hop divides n_fft, frame tap
+    i = c*hop + r of frame f reads padded sample (f+c)*hop + r, so the
+    [F, n_fft] frame matrix is n_fft/hop static shifted views of the padded
+    signal reshaped [*, hop] — no gather, no conv, just one [F, n_fft] @
+    [n_fft, 2*bins] DFT matmul.  (The previous single-channel NCH conv
+    formulation ran ~10x slower on v5e: 1 of 128 lanes carried data.)"""
     from jax import lax
 
     n_bins = n_fft // 2 + 1
     half = n_fft // 2
     xp = jnp.pad(x, (half, half), mode="reflect")
     cos_b, sin_b = _dft_bases(n_fft, n_bins)          # [n_fft, bins]
-    win = window.reshape(-1, 1)
+    win = window.reshape(-1, 1).astype(jnp.float32)
     kern = jnp.concatenate([cos_b * win, sin_b * win], axis=1)  # [n_fft, 2*bins]
-    kern = kern.T[:, None, :]                         # [2*bins, 1, n_fft]
-    out = lax.conv_general_dilated(
-        xp[None, None, :], kern, window_strides=(hop,), padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)[0].T      # [F, 2*bins]
+    T = x.shape[0]
+    F = T // hop + 1
+    if n_fft % hop == 0:
+        n_chunks = n_fft // hop
+        # len(xp) = T + n_fft >= (F-1+c)*hop + hop for every c < n_chunks
+        views = [lax.slice(xp, (c * hop,), (c * hop + F * hop,)).reshape(F, hop)
+                 for c in range(n_chunks)]
+        frames = jnp.concatenate(views, axis=1)       # [F, n_fft]
+        out = frames.astype(jnp.float32) @ kern       # [F, 2*bins]
+    else:
+        ck = kern.T[:, None, :]                       # [2*bins, 1, n_fft]
+        out = lax.conv_general_dilated(
+            xp[None, None, :], ck, window_strides=(hop,), padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)[0].T  # [F, 2*bins]
     re, im = out[:, :n_bins], out[:, n_bins:]
     mag = jnp.sqrt(re * re + im * im + 1e-12)
     phase = jnp.arctan2(im, re)
@@ -92,14 +105,32 @@ def istft(mag, phase, window, window_sq_sum, n_fft: int, hop: int):
 
     out_len = (n_frames - 1) * hop
     half = n_fft // 2
-    # overlap-add as a transposed conv with an identity kernel: channel i of
-    # frame f lands at sample f*hop + i (fast to compile and MXU-friendly)
-    from tts_tpu.ops.conv import conv_transpose1d
+    if n_fft % hop == 0 and half % hop == 0:
+        # hop-phase overlap-add: output sample m*hop + r receives frame tap
+        # c*hop + r from frame m + half/hop - c, so OLA is n_fft/hop shifted
+        # [F-1, hop] slice adds — exact f32 adds, no conv.  (The identity-
+        # kernel conv_transpose this replaces wrote a single-channel [S, 1]
+        # — 1 of 128 lanes — and cost ~1.6 ms at S=115k on v5e vs ~12 us;
+        # its MXU pass also rounded the f32 frames through bf16 passes.)
+        from jax import lax
 
-    ident = jnp.eye(n_fft, dtype=frames.dtype).reshape(n_fft, 1, n_fft)
-    out = conv_transpose1d(frames, ident, stride=hop)[:, 0]
-    # out has length (F-1)*hop + n_fft; frame f covers [f*hop - half, ...)
-    out = out[half : half + out_len]
+        n_chunks = n_fft // hop
+        halfc = half // hop
+        fp = jnp.pad(frames, ((n_chunks - 1 - halfc, halfc), (0, 0)))
+        acc = None
+        for c in range(n_chunks):
+            sl = lax.slice(fp, ((n_chunks - 1) - c, c * hop),
+                           ((n_chunks - 1) - c + n_frames - 1, (c + 1) * hop))
+            acc = sl if acc is None else acc + sl
+        out = acc.reshape(-1)
+    else:
+        # overlap-add as a transposed conv with an identity kernel
+        from tts_tpu.ops.conv import conv_transpose1d
+
+        ident = jnp.eye(n_fft, dtype=frames.dtype).reshape(n_fft, 1, n_fft)
+        out = conv_transpose1d(frames, ident, stride=hop)[:, 0]
+        # out has length (F-1)*hop + n_fft; frame f covers [f*hop - half, ..)
+        out = out[half : half + out_len]
     return out / window_sq_sum
 
 
