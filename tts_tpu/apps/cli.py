@@ -98,9 +98,16 @@ def main(argv=None) -> int:
         audio = trim_silence(audio, resp.sample_rate)
 
     if args.play:
+        # in-process SDL2 queue-audio first (playback.cpp:18-62), then a
+        # system player, then fall through to saving
+        from tts_tpu.runtime import playback
+
+        if playback.play(audio, resp.sample_rate):
+            print(f"total time = {(time.perf_counter() - t_start) * 1e3:.2f} ms")
+            return 0
         player = shutil.which("aplay") or shutil.which("play") or shutil.which("afplay")
         if not player:
-            print("no audio player found (aplay/play/afplay); saving instead",
+            print("no audio output (SDL2/aplay/play/afplay); saving instead",
                   file=sys.stderr)
         else:
             with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
