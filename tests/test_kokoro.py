@@ -61,6 +61,39 @@ def test_bucket_invariance(tiny_runner):
     np.testing.assert_allclose(audio_small, audio_big, atol=2e-4)
 
 
+def test_packed_protocol_matches_explicit_args(tiny_runner):
+    """synthesize()'s single-upload protocol (tokens|T|seed int32 array, with
+    the mask / voice-style row / PRNG key derived in-graph) is bit-identical
+    to calling the fused graph with the five explicit host arguments."""
+    import jax
+    import jax.numpy as jnp
+
+    model = tiny_runner.model
+    token_ids = [0, 1, 2, 3, 16, 4, 5, 0]
+    T = len(token_ids)
+    seed = 11
+
+    from tts_tpu.models import kokoro as K
+    Tb = K.pick_bucket(T, K.TOKEN_BUCKETS)
+    F = K.FRAME_BUCKETS[-1]
+
+    tokens = np.zeros(Tb, np.int32); tokens[:T] = token_ids
+    mask = np.zeros(Tb, np.float32); mask[:T] = 1.0
+    style_gen, style_pros = model.voice_style("af_heart", T)
+    explicit = np.asarray(model._fused(F)(
+        model.params, jnp.asarray(tokens), jnp.asarray(mask), style_gen,
+        style_pros, jax.random.PRNGKey(seed), model.window))
+
+    arr = np.zeros(Tb + 2, np.int32)
+    arr[:T] = token_ids
+    arr[-2] = T
+    arr[-1] = seed
+    packed = np.asarray(model._fused_packed(F)(
+        model.params, model._voice_pack("af_heart"), jnp.asarray(arr),
+        model.window))
+    np.testing.assert_array_equal(explicit, packed)
+
+
 def test_empty_text(tiny_runner):
     resp = tiny_runner.generate("...", GenerationConfig(voice="af_heart"))
     assert len(resp.audio) == 0

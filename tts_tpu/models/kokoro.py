@@ -665,7 +665,7 @@ def pick_bucket(n: int, buckets) -> int:
 class KokoroModel:
     """Device-facing model state: config + params + jit caches."""
 
-    device_arrays = ("params", "window")
+    device_arrays = ("params", "window", "_voice_packs_dev")
 
     def __init__(self, cfg: KokoroConfig, params: dict):
         self.cfg = cfg
@@ -676,6 +676,8 @@ class KokoroModel:
         # until the first measurement, which it snaps to directly.
         self._frames_per_token: float | None = None
         self._fused_jits: dict = {}
+        self._fused_packed_jits: dict = {}
+        self._voice_packs_dev: dict = {}
 
     def _fused(self, F: int):
         """Per-bucket jit of the fused graph with statics closed over, so the
@@ -692,6 +694,47 @@ class KokoroModel:
 
             self._fused_jits[F] = fn = fused
         return fn
+
+    def _fused_packed(self, F: int):
+        """_fused with the HOST PROTOCOL folded into the graph: ONE int32
+        upload `arr = tokens_padded | T | seed` replaces the five per-call
+        argument transfers (tokens, mask, two style rows, PRNGKey device
+        computation) of the 5-arg form.  The mask (iota < T), the voice-style
+        row (pack gather at clip(T-3), model.cpp:1013,1150) and the PRNG key
+        (traced seed) are derived on device — token-rate ops, free next to
+        the generation body — and the voice pack lives on device.  Under the
+        axon tunnel every distinct transfer pays the per-dispatch latency
+        floor (CLAUDE.md), so argument count is wall time."""
+        fn = self._fused_packed_jits.get(F)
+        if fn is None:
+            cfg = self.cfg
+            half = cfg.style_half_size
+            body = kokoro_fused_forward.__wrapped__
+
+            @jax.jit
+            def fused(params, pack, arr, window):
+                tokens = arr[:-2]
+                t = arr[-2]
+                mask = (jnp.arange(arr.shape[0] - 2) < t).astype(jnp.float32)
+                row = pack[jnp.clip(t - 3, 0, pack.shape[0] - 1)]
+                key = jax.random.PRNGKey(arr[-1].astype(jnp.uint32))
+                return body(params, cfg, F, tokens, mask, row[:half],
+                            row[half : 2 * half], key, window)
+
+            self._fused_packed_jits[F] = fn = fused
+        return fn
+
+    def _voice_pack(self, voice: str):
+        """Device-resident voice pack (uploaded once per voice, not per call)."""
+        pack = self._voice_packs_dev.get(voice)
+        if pack is None:
+            # land next to the (possibly replica-committed) weights, not the
+            # default device — parallel/serving.move_to_device moves this
+            # cache, but a voice first used AFTER the move must follow too
+            dev = next(iter(self.window.devices()))
+            self._voice_packs_dev[voice] = pack = jax.device_put(
+                np.asarray(self.params["voices"][voice]), dev)
+        return pack
 
     @classmethod
     def from_gguf(cls, gguf_file) -> "KokoroModel":
@@ -735,12 +778,13 @@ class KokoroModel:
         cfg = self.cfg
         T = len(token_ids)
         Tb = pick_bucket(T, TOKEN_BUCKETS)
-        tokens = np.zeros(Tb, np.int32)
-        tokens[:T] = token_ids
-        mask = np.zeros(Tb, np.float32)
-        mask[:T] = 1.0
-        style_gen, style_pros = self.voice_style(voice, T)
-        key = jax.random.PRNGKey(seed)
+        # ONE host->device upload: tokens | T | seed (mask, style row and
+        # PRNG key are derived in-graph, see _fused_packed)
+        arr = np.zeros(Tb + 2, np.int32)
+        arr[:T] = token_ids
+        arr[-2] = T
+        arr[-1] = seed
+        pack = self._voice_pack(voice)
 
         # predict the frame bucket with ~12% headroom; clamped to the model
         # cap.  Too-tight costs a rare second dispatch; too-loose wastes
@@ -754,9 +798,8 @@ class KokoroModel:
             # AOT-export cache skips per-process trace+lower of this graph
             from tts_tpu.runtime.aot import call_cached
             packed = np.asarray(call_cached(
-                "kokoro_fused", f"F={F}|{cfg!r}", self._fused(F), self.params,
-                jnp.asarray(tokens), jnp.asarray(mask), style_gen, style_pros,
-                key, self.window))
+                "kokoro_fused_packed", f"F={F}|{cfg!r}", self._fused_packed(F),
+                self.params, pack, jnp.asarray(arr), self.window))
             # .copy(): a sliced int16 view is only 4-byte aligned when F*up
             # is even — don't depend on the upsampling factor's parity
             total = int(packed[-4:-2].copy().view(np.int32)[0])
