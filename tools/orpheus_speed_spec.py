@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 from tts_tpu.models.orpheus import (OrpheusConfig, init_kv_cache,
                                     orpheus_decode_loop,
-                                    orpheus_decode_loop_spec, orpheus_prefill)
+                                    orpheus_decode_loop_spec,
+                                    orpheus_decode_loop_spec_sample,
+                                    orpheus_prefill)
 from tts_tpu.ops.qmatmul import pack_q4_nibbles
 from tts_tpu.ops.sampling import init_state
 
@@ -59,7 +61,10 @@ T = 64
 tokens = jnp.zeros(T, jnp.int32)
 N = int(os.environ.get("N", "420"))   # 60 SNAC frames
 
-for name in ("seq", "spec"):
+# sampled modes use the reference defaults (temp 0.7, top-p 0.95, rep 1.1)
+SAMP = dict(temperature=0.7, top_p=0.95, repetition_penalty=1.1)
+
+for name in ("seq", "spec", "seq_sample", "spec_sample"):
     if os.environ.get("ONLY") and os.environ["ONLY"] != name:
         continue
     for trial in (1, 2, 3):
@@ -75,6 +80,18 @@ for name in ("seq", "spec"):
                 jnp.asarray(N, jnp.int32), cache, jax.random.PRNGKey(trial),
                 init_state(1), max_steps=cfg.max_generation_size,
                 do_sample=False)
+        elif name == "seq_sample":
+            out, n, cache, s, _ = orpheus_decode_loop(
+                params, cfg, first, jnp.asarray(T, jnp.int32),
+                jnp.asarray(N, jnp.int32), cache, jax.random.PRNGKey(trial),
+                init_state(1), max_steps=cfg.max_generation_size,
+                do_sample=True, use_top_p=True, **SAMP)
+        elif name == "spec_sample":
+            out, n, cache, s, _ = orpheus_decode_loop_spec_sample(
+                params, cfg, first, jnp.asarray(T, jnp.int32),
+                jnp.asarray(N, jnp.int32), cache, jax.random.PRNGKey(trial),
+                init_state(1), max_steps=cfg.max_generation_size,
+                use_top_p=True, **SAMP)
         else:
             out, n, cache = orpheus_decode_loop_spec(
                 params, cfg, first, jnp.asarray(T, jnp.int32),
