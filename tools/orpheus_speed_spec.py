@@ -96,7 +96,8 @@ for name in ("seq", "spec", "seq_sample", "spec_sample"):
             out, n, cache = orpheus_decode_loop_spec(
                 params, cfg, first, jnp.asarray(T, jnp.int32),
                 jnp.asarray(N, jnp.int32), cache,
-                max_steps=cfg.max_generation_size)
+                max_steps=cfg.max_generation_size,
+                force_miss=os.environ.get("FORCE_MISS") == "1")
         n_host = int(np.asarray(n))   # transfer forces completion
         dt = time.time() - t0
         o = np.asarray(out)[:n_host]

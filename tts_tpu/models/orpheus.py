@@ -653,10 +653,11 @@ def _ngram_drafts(out, token, i, k: int):
     return jnp.where(found | (i >= 7), drafts, jnp.full((k,), prev))
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_steps", "k"),
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "k", "force_miss"),
          donate_argnames=("cache",))
 def orpheus_decode_loop_spec(params, cfg: OrpheusConfig, first_token, start_pos,
-                             limit, cache, *, max_steps: int, k: int = 7):
+                             limit, cache, *, max_steps: int, k: int = 7,
+                             force_miss: bool = False):
     """Self-speculative GREEDY decode in ONE dispatch (VERDICT r2 item 3).
 
     At int4 + flash + int8-KV the single-token step is no longer
@@ -684,7 +685,13 @@ def orpheus_decode_loop_spec(params, cfg: OrpheusConfig, first_token, start_pos,
 
     def body(state):
         i, token, pos, cache, out, done = state
-        drafts = _ngram_drafts(out, token, i, k)
+        if force_miss:
+            # worst-case floor for measurement: an impossible draft id (-1)
+            # can never match argmax >= 0, so every draft is rejected and
+            # each k+1-wide verify forward emits exactly one token
+            drafts = jnp.full((k,), -1, jnp.int32)
+        else:
+            drafts = _ngram_drafts(out, token, i, k)
 
         # ---- verify: one forward over [token, drafts...] ------------------
         tokens_vec = jnp.concatenate([token[None], drafts])
