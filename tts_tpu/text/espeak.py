@@ -182,10 +182,21 @@ def espeak_text_to_phonemes(text: str, voice: str = "gmw/en-US",
                 buf = ctypes.c_char_p(chunk.encode("utf-8"))
                 ptr = ctypes.cast(ctypes.pointer(buf), ctypes.POINTER(ctypes.c_void_p))
                 out = []
-                while ptr.contents.value:
+                # espeak advances the cursor one clause per call; bound the
+                # loop so a library failure that stops advancing the cursor
+                # can't spin forever (one clause >= 1 byte, so len(chunk)
+                # iterations always suffice)
+                for _ in range(len(chunk) + 1):
+                    if not ptr.contents.value:
+                        break
+                    prev = ptr.contents.value
                     resp = lib.espeak_TextToPhonemes(ptr, ESPEAK_CHARS_UTF8, mode)
                     if resp:
                         out.append(resp.decode("utf-8"))
+                    if ptr.contents.value == prev and not resp:
+                        raise TTSError(
+                            "espeak_TextToPhonemes made no progress "
+                            f"(stuck at byte offset in {chunk[:40]!r}...)")
                 phonemes.append(" ".join(out).strip())
             if preserve_punctuation and i + 1 < len(parts):
                 phonemes.append(parts[i + 1])
