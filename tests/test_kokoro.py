@@ -149,3 +149,89 @@ def test_aot_export_cache_roundtrip(tiny_runner, tmp_path, monkeypatch):
     model._fused_jits.clear()
     b = model.synthesize(tokens, "af_heart", seed=2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_per_voice_frame_rate_no_cross_pollution(tmp_path_factory):
+    """The frame-bucket predictor is per-voice (VERDICT r3 item 5): a slow
+    voice's measurements must not shift a fast voice's predictions, and the
+    second call per voice must reuse its own converged estimate with no
+    re-dispatch (exactly ONE fused dispatch per call)."""
+    path = tmp_path_factory.mktemp("kokoro2v") / "two_voice.gguf"
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0,
+                      voices=("af_heart", "bm_slow"), duration_bias=-2.6)
+    runner = runner_from_file(str(path))
+    model = runner.model
+    tokens = [0, 1, 2, 3, 16, 4, 5, 0]
+
+    from tts_tpu.runtime import aot
+    calls = []
+    orig = aot.call_cached
+
+    def counting(name, key, fn, *args):
+        calls.append(key)
+        return orig(name, key, fn, *args)
+
+    aot.call_cached = counting
+    try:
+        model.synthesize(tokens, "af_heart", seed=1)
+        assert "af_heart" in model._frames_per_token
+        assert "bm_slow" not in model._frames_per_token  # no pollution
+
+        # seed the second voice at a very different speaking rate; the first
+        # voice's estimate must be untouched by it
+        before = model._frames_per_token["af_heart"]
+        model.seed_frame_rate("bm_slow", 40.0)
+        model.synthesize(tokens, "bm_slow", seed=1)
+        assert model._frames_per_token["af_heart"] == before
+
+        # second call per voice: converged estimate -> ONE dispatch, and the
+        # bm_slow estimate evolved from ITS OWN seed (EMA from 40), not from
+        # af_heart's measurement
+        n0 = len(calls)
+        model.synthesize(tokens, "af_heart", seed=1)
+        assert len(calls) == n0 + 1, "re-dispatch on a converged voice"
+        n0 = len(calls)
+        model.synthesize(tokens, "bm_slow", seed=1)
+        assert len(calls) == n0 + 1
+        assert (model._frames_per_token["bm_slow"]
+                > model._frames_per_token["af_heart"])
+    finally:
+        aot.call_cached = orig
+
+
+def test_frozen_buckets_pin_serving_path(tiny_runner):
+    """After freeze_buckets(), a predictor shift must NOT compile a new frame
+    bucket (VERDICT r3 item 1a): predictions round up to the nearest pinned
+    bucket; only a prediction beyond every pinned bucket falls back to the
+    full ladder."""
+    model = tiny_runner.model
+    tokens = [0, 1, 2, 3, 16, 4, 5, 0]
+    model.synthesize(tokens, "af_heart", seed=3)       # warm one bucket
+    pinned = model.freeze_buckets()
+    assert pinned and pinned == tuple(sorted(model._fused_packed_jits))
+
+    # force a prediction SMALLER than any pinned bucket: selection must stay
+    # inside the pinned set (no new jit), audio unchanged
+    before = dict(model._frames_per_token)
+    jits_before = set(model._fused_packed_jits)
+    model.seed_frame_rate("af_heart", 0.5)
+    a = model.synthesize(tokens, "af_heart", seed=3)
+    assert set(model._fused_packed_jits) == jits_before, \
+        "predictor shift compiled a new bucket despite freeze"
+    model._frames_per_token.update(before)
+    b = model.synthesize(tokens, "af_heart", seed=3)
+    # same audio up to cross-bucket bf16 rounding (a's tiny mispredicted
+    # bucket forces a re-dispatch, so a and b can come from pinned buckets
+    # far apart on the ladder — looser than adjacent-bucket invariance)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+    # a prediction beyond every pinned bucket falls back to the full ladder
+    from tts_tpu.models import kokoro as K
+    saved = model._pinned_fbuckets
+    model._pinned_fbuckets = (64,)
+    try:
+        assert model._pick_frame_bucket(100) == K.pick_bucket(100, K.FRAME_BUCKETS)
+        assert model._pick_frame_bucket(60) == 64          # stays pinned
+    finally:
+        model._pinned_fbuckets = saved

@@ -262,6 +262,12 @@ def build_kokoro_tensors(dims: KokoroDims, rng: np.random.Generator,
                 (kj - 1) * dil[j] // 2)
             kv[f"kokoro.decoder.generator.res_blocks.{i}.{j}.dilation"] = dil[j]
     kv["kokoro.voices"] = list(voices)
+    if duration_bias is not None:
+        # seed the runtime's frame-bucket predictor with the expected
+        # speaking rate of this duration head (sigmoid(bias) * max_duration);
+        # the per-voice EMA refines from here (models/kokoro.py fpt_default)
+        kv["kokoro.frames_per_token"] = float(
+            d.max_duration / (1.0 + np.exp(-duration_bias)))
 
     # tokenizer: ids 0..vocab-1; id 0 = "" (bos/eos), id 16 = " " when possible
     tokens = [""] + [chr(ord("a") + i) if i < 26 else f"<{i}>"

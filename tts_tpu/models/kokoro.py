@@ -649,10 +649,13 @@ TOKEN_BUCKETS = (64, 128, 256, 512)
 # ~1.25x geometric steps: pad waste stays <25% while keeping the compile
 # variant count bounded (persistent cache amortizes across runs).  The small
 # leading buckets serve realistic single sentences (~100-200 frames) and the
-# sub-chunked first streaming emission (TTFA).
-FRAME_BUCKETS = (64, 96, 128, 160, 192, 256, 320, 384, 448, 512, 640, 768,
-                 1024, 1280, 1536, 2048, 2560, 3072, 4096, 5120, 6144, 8192,
-                 10240, 12800, 16384, 20480, 25600)
+# sub-chunked first streaming emission (TTFA); the 176/224 steps densify the
+# ladder exactly where single Harvard-length sentences land (the 192->256
+# jump cost 33% extra frame compute whenever a prediction landed a few
+# frames past 192 — measured in BENCH_r04 warmup, buckets 192/256 both hot).
+FRAME_BUCKETS = (64, 96, 128, 160, 176, 192, 224, 256, 320, 384, 448, 512,
+                 640, 768, 1024, 1280, 1536, 2048, 2560, 3072, 4096, 5120,
+                 6144, 8192, 10240, 12800, 16384, 20480, 25600)
 
 
 def pick_bucket(n: int, buckets) -> int:
@@ -672,9 +675,21 @@ class KokoroModel:
         self.params = params
         self.window = jnp.asarray(hann_window(cfg.n_fft))
         # running frames-per-token estimate for the fused-dispatch bucket
-        # prediction (voice/style dependent; ~3-8 for real speech).  None
-        # until the first measurement, which it snaps to directly.
-        self._frames_per_token: float | None = None
+        # prediction, PER VOICE (speaking rate is a voice property; a shared
+        # scalar cross-pollutes predictions and pays re-dispatches until the
+        # EMA re-converges — VERDICT r3 item 5).  A voice absent from the dict
+        # starts at `fpt_default` (GGUF KV `kokoro.frames_per_token` when the
+        # converter measured one, else 8.0) and snaps to its first measurement.
+        self._frames_per_token: dict[str, float] = {}
+        self.fpt_default: float = 8.0
+        # production p99 guard (VERDICT r3 item 1a): freeze_buckets() pins
+        # frame-bucket selection to the set compiled during warmup so a
+        # predictor shift after warmup can never trigger a post-warmup
+        # compile/AOT-load on the serving path.  _bucket_events records every
+        # first-use of a frame bucket in this process (bench warm-coverage
+        # accounting).
+        self._pinned_fbuckets: tuple | None = None
+        self._bucket_events: list = []
         self._fused_jits: dict = {}
         self._fused_packed_jits: dict = {}
         self._voice_packs_dev: dict = {}
@@ -707,6 +722,7 @@ class KokoroModel:
         floor (CLAUDE.md), so argument count is wall time."""
         fn = self._fused_packed_jits.get(F)
         if fn is None:
+            self._bucket_events.append(F)
             cfg = self.cfg
             half = cfg.style_half_size
             body = kokoro_fused_forward.__wrapped__
@@ -723,6 +739,27 @@ class KokoroModel:
 
             self._fused_packed_jits[F] = fn = fused
         return fn
+
+    def freeze_buckets(self) -> tuple:
+        """Pin frame-bucket selection to the buckets already compiled in this
+        process.  After this, `synthesize` rounds its prediction UP to the
+        nearest pinned bucket (a few % extra frame compute) instead of ever
+        compiling a new one mid-serving; only a prediction LARGER than every
+        pinned bucket falls back to the full ladder (and logs a bucket event).
+        Returns the pinned set.  Call after warmup; call again after warming
+        more buckets to extend the set."""
+        self._pinned_fbuckets = tuple(sorted(self._fused_packed_jits))
+        return self._pinned_fbuckets
+
+    def seed_frame_rate(self, voice: str, frames_per_token: float) -> None:
+        """Pre-seed the per-voice frame-rate predictor (serving warmup can
+        calibrate each voice once and pin its first real request's bucket)."""
+        self._frames_per_token[voice] = float(frames_per_token)
+
+    def bucket_events(self) -> list:
+        """Frame buckets first-used in this process, in order (bench warm-
+        coverage accounting: events after freeze_buckets() are cold misses)."""
+        return list(self._bucket_events)
 
     def _voice_pack(self, voice: str):
         """Device-resident voice pack (uploaded once per voice, not per call)."""
@@ -749,7 +786,14 @@ class KokoroModel:
             width = next(iter(params["voices"].values())).shape[1]
             if width // 2 != cfg.style_half_size:
                 cfg = dataclasses.replace(cfg, style_half_size=width // 2)
-        return cls(cfg, params)
+        model = cls(cfg, params)
+        # converter-measured speaking rate (optional KV): seeds the frame-
+        # bucket predictor so the FIRST call per voice already lands in the
+        # right bucket instead of starting from the conservative 8.0
+        fpt = gguf_file.kv.get("kokoro.frames_per_token")
+        if fpt is not None:
+            model.fpt_default = float(fpt)
+        return model
 
     def voice_style(self, voice: str, n_tokens: int):
         """Voice row indexed by token count (model.cpp:1013,1150: row T-3)."""
@@ -771,6 +815,13 @@ class KokoroModel:
             self.params, cfg, jnp.asarray(tokens), jnp.asarray(mask), style_pros)
         return tokens, mask, durations, hidden
 
+    def _pick_frame_bucket(self, n_frames: int) -> int:
+        """Frame bucket for `n_frames`: the pinned (warmed) ladder when one is
+        set and it can hold the prediction, else the full ladder."""
+        if self._pinned_fbuckets and n_frames <= self._pinned_fbuckets[-1]:
+            return pick_bucket(n_frames, self._pinned_fbuckets)
+        return pick_bucket(n_frames, FRAME_BUCKETS)
+
     def synthesize(self, token_ids: list[int], voice: str, seed: int = 0):
         """One chunk -> float32 PCM, in ONE device dispatch when the
         frame-bucket prediction holds (kokoro_fused_forward), falling back to
@@ -789,10 +840,10 @@ class KokoroModel:
         # predict the frame bucket with ~12% headroom; clamped to the model
         # cap.  Too-tight costs a rare second dispatch; too-loose wastes
         # compute on a bigger bucket every call.
-        fpt = self._frames_per_token if self._frames_per_token is not None else 8.0
+        fpt = self._frames_per_token.get(voice, self.fpt_default)
         predicted = min(int(fpt * T * 1.12) + 4,
                         cfg.max_duration_per_token * T)
-        F = pick_bucket(predicted, FRAME_BUCKETS)
+        F = self._pick_frame_bucket(predicted)
 
         def run(F):
             # AOT-export cache skips per-process trace+lower of this graph
@@ -809,14 +860,13 @@ class KokoroModel:
         pcm, total, peak = run(F)
         if total <= 0:
             return np.zeros(0, np.float32)
-        if self._frames_per_token is None:
-            self._frames_per_token = total / T     # snap to first measurement
-        else:
-            self._frames_per_token = (0.7 * self._frames_per_token
-                                      + 0.3 * (total / T))
+        prev = self._frames_per_token.get(voice)
+        self._frames_per_token[voice] = (
+            total / T if prev is None                 # snap to first measurement
+            else 0.7 * prev + 0.3 * (total / T))
         if total > F:
             # prediction too small: re-dispatch at the right bucket (rare)
-            F = pick_bucket(total, FRAME_BUCKETS)
+            F = self._pick_frame_bucket(total)
             pcm, total, peak = run(F)
         # audio + total + peak arrive in ONE int16 transfer, unpacked
         # host-side; total can only exceed F if it exceeds the largest
