@@ -148,8 +148,17 @@ def run_report(model_path: str, text: str, voice: str, seed: int,
 
     if runner.architecture == "kokoro":
         report["stages"] = kokoro_stages(runner, text, voice)
+    else:
+        # AR models capture their own stage trace during generate(): prompt
+        # ids, step-0 logit stats, token stream head + EOS step, per-head
+        # codec code streams (runner.capture_trace / runner.last_trace)
+        runner.capture_trace = True
 
     resp = runner.generate(text, config)
+    if runner.architecture != "kokoro":
+        runner.capture_trace = False
+        if getattr(runner, "last_trace", None):
+            report["stages"] = runner.last_trace
     report["audio"] = audio_stats(resp.audio, resp.sample_rate)
     report["audio"]["sample_rate"] = resp.sample_rate
     report["timings_ms"] = {k: round(v, 2) for k, v in resp.timings.items()
@@ -188,11 +197,33 @@ def print_report(report: dict) -> None:
           f"text={report['text']!r}")
     if "stages" in report:
         st = report["stages"]
-        print(f"-- phonemes: {st['phonemes']!r}")
-        d = st["durations"]
-        print(f"-- durations: {st['n_tokens']} tokens -> "
-              f"{st['total_frames']} frames "
-              f"(min {min(d):.0f} / mean {sum(d) / len(d):.1f} / max {max(d):.0f})")
+        if "phonemes" in st:                       # kokoro
+            print(f"-- phonemes: {st['phonemes']!r}")
+            d = st["durations"]
+            print(f"-- durations: {st['n_tokens']} tokens -> "
+                  f"{st['total_frames']} frames "
+                  f"(min {min(d):.0f} / mean {sum(d) / len(d):.1f} / max {max(d):.0f})")
+        else:                                      # AR models
+            print(f"-- prompt: {st['n_prompt_tokens']} tokens, "
+                  f"first {st['prompt_ids']}")
+            s0 = st["step0_logits"]
+            if "per_head_argmax" in s0:            # dia / parler multihead
+                print(f"-- step-0 logits: per-head argmax "
+                      f"{s0['per_head_argmax']}, head0 "
+                      f"min/mean/max {s0['head0']['min']:.3f}/"
+                      f"{s0['head0']['mean']:.3f}/{s0['head0']['max']:.3f}")
+                print(f"-- decode: {st['n_steps']} steps "
+                      f"(head-0 EOS @ {st['eos_step_head0']}), "
+                      f"{st['n_frames']} frames; first frames "
+                      f"{st['codes_first_frames'][:3]}")
+            else:                                  # orpheus single head
+                print(f"-- step-0 logits: argmax {s0['argmax']} "
+                      f"min/mean/max {s0['min']:.3f}/{s0['mean']:.3f}/"
+                      f"{s0['max']:.3f}, top {s0['top_ids']}")
+                print(f"-- decode: {st['n_tokens']} tokens "
+                      f"(EOS @ {st['eos_step']}), first {st['tokens_first'][:12]}")
+                print(f"-- codec heads: lengths {st['head_lengths']}, "
+                      f"streams {[h[:6] for h in st['head_streams']]}")
     au = report["audio"]
     print(f"-- audio: {au['samples']} samples = {au['seconds']:.2f}s @ "
           f"{au['sample_rate']} Hz, rms={au['rms']:.4f} peak={au['peak']:.4f}")

@@ -300,6 +300,18 @@ def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
     return merged, {"k": new_k, "v": new_v}
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def dia_step0_logits(params, cfg: DiaConfig, cache, cross_kv):
+    """CFG-merged per-head logits of decode step 0 (all-BOS frame at position
+    0), consuming no loop/PRNG state — the parity-report probe that localizes
+    a real-checkpoint mismatch to the encoder/decoder backbone vs the
+    sampler/codec (VERDICT r3 item 4)."""
+    tokens = jnp.full((cfg.n_output_heads,), cfg.bos_token_id, jnp.int32)
+    merged, _ = _dia_step(params, cfg, tokens, jnp.asarray(0, jnp.int32),
+                          cache, cross_kv)
+    return merged
+
+
 def dia_init_loop_state(cfg: DiaConfig):
     """Resumable decode carry: (next tokens, delay-drain counter, position) —
     lets generate_stream run the CFG loop in chunks."""
@@ -475,6 +487,17 @@ class DiaRunner(TTSRunner):
         cross, cache, key, sampler_state = self._encode(text, config)
         t_encode = time.perf_counter()
 
+        # parity-report stage capture: probe step-0 logits BEFORE the loop
+        # donates the cache (debug path only — one extra dispatch)
+        trace = {} if getattr(self, "capture_trace", False) else None
+        if trace is not None:
+            from tts_tpu.utils.trace import multihead_logit_stats
+            ids = tokenize_dia_sentence(text, cfg)
+            trace["prompt_ids"] = [int(i) for i in ids[:24]]
+            trace["n_prompt_tokens"] = len(ids)
+            trace["step0_logits"] = multihead_logit_stats(np.asarray(
+                dia_step0_logits(self.params, cfg, cache, cross), np.float32))
+
         # one dispatch: CFG decode + delay-drain run on device
         out_tokens, n_steps, cache, sampler_state, _, _ = dia_decode_loop(
             self.params, cfg, jnp.asarray(max_gen, jnp.int32),
@@ -491,6 +514,17 @@ class DiaRunner(TTSRunner):
 
         frames = adjust_output_tokens(
             outputs if n_steps else np.zeros((0, cfg.n_output_heads)), cfg)
+        if trace is not None:
+            eos = (np.where(outputs[:, 0] == cfg.eos_token_id)[0]
+                   if n_steps else np.zeros(0, np.int64))
+            trace.update({
+                "n_steps": n_steps,
+                "eos_step_head0": int(eos[0]) if len(eos) else -1,
+                "tokens_first_steps": outputs[:8].tolist(),
+                "n_frames": int(len(frames)),
+                "codes_first_frames": np.asarray(frames[:6], np.int64).tolist(),
+            })
+            self.last_trace = trace
         audio = self.dac.decode(frames)
         t_end = time.perf_counter()
         return TTSResponse(
