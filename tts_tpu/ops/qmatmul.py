@@ -14,6 +14,7 @@ input dimension; a GGUF [out, in] tensor transposes to this layout).
 
 from __future__ import annotations
 
+
 from functools import partial
 
 import jax
@@ -118,9 +119,10 @@ def _qmv_kernel(xd_ref, wq_ref, sc_ref, out_ref):
     bf16's 8-bit mantissa).  Rows are block-major (m fastest) so a K chunk
     reads a CONTIGUOUS row range of xd.
 
-    M > 1 serves the CFG batch-2 decodes (dia/parler) and the speculative
-    verify forward; `_pick_tiles` shrinks the K chunk with M so the extra
-    MXU work stays under the weight-stream time (HBM-bound).
+    The kernel still handles M > 1 (used by tests / `_pick_tiles`-driven
+    experiments), but production callers route only M == 1 here: the M <= 8
+    extension was measured slower than the whole-K `_qmm_kernel` at every
+    M > 1 (round-4 A/B, see `quantized_matmul`).
 
     Grid is (N tiles, K chunks) with K innermost: the output tile stays
     resident while partial sums accumulate, and the K chunking keeps the
@@ -169,19 +171,18 @@ def _block_diag_x(x, kt: int | None = None):
 
 def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21, M: int = 1,
                 macs_cap: int = 4096):
-    """(kt, tn) for the decode kernels: both divide their dims, and BOTH the
-    weight tile (kt*tn bytes) and the block-diagonal activation tile
-    (M*kt^2/16 bytes bf16, see `_block_diag_x`) stay under `max_bytes` so
-    Pallas double-buffering fits VMEM.  For M > 1 the K chunk additionally
-    shrinks so the MXU work per weight BYTE stays below the HBM stream rate
-    — the kernel must remain weight-bandwidth-bound.
+    """(kt, tn) for the M=1 decode kernels: both divide their dims, and BOTH
+    the weight tile (kt*tn bytes) and the block-diagonal activation tile
+    (kt^2/16 bytes bf16, see `_block_diag_x`) stay under `max_bytes` so
+    Pallas double-buffering fits VMEM.
 
     The expansion does M*kt/32 MACs per weight ELEMENT; v5e break-even is
     ~118 MACs per weight BYTE (197 TFLOP/s bf16 vs 819 GB/s).  `macs_cap`
-    encodes the per-format budget as a bound on M*kt: int8 (1 B/elem) takes
-    the default 4096 (~128 MACs/B); int4 (0.5 B/elem) must pass 2048 —
-    measured: the spec-decode verify forward (M=8) at the int8 cap ran the
-    int4 kernels 2x past break-even, ~19 ms per T=8 step."""
+    bounds M*kt: int8 (1 B/elem) takes the default 4096 (~128 MACs/B); int4
+    (0.5 B/elem) must pass 2048.  (This was the mechanism behind the failed
+    M<=8 extension: at M>1 the cap shrinks K chunks so much the grid
+    overhead beats the whole-K fallback kernel — measured round 4, callers
+    now use the expansion only at M=1.)"""
     tn = next((t for t in (1024, 512, 256) if N % t == 0), None)
     if tn is None:
         return None
@@ -193,8 +194,14 @@ def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21, M: int = 1,
     return None
 
 
-def quantized_matmul(x, wq, scales, *, tile_n: int = 256, interpret: bool | None = None):
-    """x [M, K] @ dequant(wq [K, N], scales [K//32, N]) -> [M, N] f32."""
+def quantized_matmul(x, wq, scales, *, tile_n: int = 256,
+                     interpret: bool | None = None,
+                     block_diag_m_cap: int = 1):
+    """x [M, K] @ dequant(wq [K, N], scales [K//32, N]) -> [M, N] f32.
+
+    `block_diag_m_cap` routes M <= cap through the block-diagonal decode
+    kernel; the default 1 is the measured-optimal config (round-4 A/B — see
+    below).  Tests/experiments may raise it to exercise the M > 1 kernel."""
     from jax.experimental import pallas as pl
 
     if x.ndim == 1:
@@ -210,10 +217,15 @@ def quantized_matmul(x, wq, scales, *, tile_n: int = 256, interpret: bool | None
         # the models, so this path is rare)
         return quantized_matmul_ref(x, wq, scales)
 
-    # decode fast path (M <= 8): M*K/32 partial-sum rows ride the MXU almost
-    # for free (a few 128-row passes); K chunks keep VMEM bounded and the
-    # kernel HBM-bound
-    tiles = _pick_tiles(K, N, M=M) if M <= 8 else None
+    # decode fast path, M == 1 ONLY: the K/32 partial-sum rows ride the MXU
+    # almost for free and the kernel streams weights at HBM peak
+    # (tools/qmatmul_bw.py).  Extending the expansion to M <= 8 was built in
+    # round 3 and MEASURED SLOWER on-TPU in round 4 — Dia CFG M=2 Q4:
+    # 281 vs 335 steps/s; Parler 426 vs 437; Orpheus spec verify M=8:
+    # 449 vs 517 tok/s — the M-fold activation expansion + shrunken K chunks
+    # cost more than the whole-K `_qmm_kernel` below, so M > 1 takes that
+    # path (measured -> reverted, VERDICT r3 item 2c).
+    tiles = _pick_tiles(K, N, M=M) if M <= block_diag_m_cap else None
     if tiles is not None:
         kt, tn = tiles
         return pl.pallas_call(
@@ -350,8 +362,12 @@ def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
 
 
 def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
-                        interpret: bool | None = None):
-    """x [M, K] @ dequant(packed wq4 [K//2, N], scales [K//32, N]) -> [M, N]."""
+                        interpret: bool | None = None,
+                        block_diag_m_cap: int = 1):
+    """x [M, K] @ dequant(packed wq4 [K//2, N], scales [K//32, N]) -> [M, N].
+
+    `block_diag_m_cap` as in `quantized_matmul` (default 1 = measured
+    optimum)."""
     from jax.experimental import pallas as pl
 
     if x.ndim == 1:
@@ -368,8 +384,10 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
             _unpack_nibbles(wq4).astype(jnp.float32)
             * jnp.repeat(_scales_f32(scales), QBLOCK, axis=0))
 
+    # default cap M == 1 — the M <= 8 block-diagonal extension measured
+    # slower (see quantized_matmul)
     tiles = (_pick_tiles(K // 2, N, max_bytes=1 << 20, M=M, macs_cap=2048)
-             if M <= 8 else None)
+             if M <= block_diag_m_cap else None)
     if tiles is not None:
         kth, tn = tiles
         hi_off = K // (2 * kth)        # chunk-row offset of the high-nibble
