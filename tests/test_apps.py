@@ -277,3 +277,22 @@ def test_espeak_gracefully_unavailable():
     import pytest
     with pytest.raises(TTSError):
         ph.text_to_phonemes("hello")
+
+
+def test_server_warmup_freezes_kokoro_buckets(tmp_path):
+    """ServerState.freeze_warm_buckets pins every loaded kokoro runner's
+    frame-bucket ladder (the serving-path p99 guard behind --warmup)."""
+    from tts_tpu.apps.server import ServerState
+    from tts_tpu.runtime.api import GenerationConfig
+    from tts_tpu.convert.builder_kokoro import KokoroDims, write_kokoro_gguf
+
+    path = tmp_path / "k.gguf"
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0, duration_bias=-2.6)
+    state = ServerState({"k": str(path)}, GenerationConfig(voice="af_heart"), 1)
+    r = state.submit({"kind": "tts", "model": "k", "prompt": "warm up.",
+                      "config": GenerationConfig(voice="af_heart", seed=0)})
+    assert r["success"], r["message"]
+    pinned = state.freeze_warm_buckets()
+    assert pinned and pinned[0], "no kokoro buckets pinned"
+    runner, _ = state._get_runner("k")
+    assert runner.model._pinned_fbuckets == pinned[0]

@@ -163,6 +163,21 @@ class ServerState:
                     self.results[task["id"]] = result
                     self.results_cv.notify_all()
 
+    def freeze_warm_buckets(self) -> list:
+        """Pin every loaded Kokoro runner's frame-bucket ladder to the set
+        compiled so far (call after warmup): predictions round up within the
+        pinned set instead of ever compiling a new bucket mid-serving — the
+        production p99 guard.  Predictions beyond the pinned max still fall
+        back to the full ladder.  Returns the pinned tuples."""
+        with self._cache_lock:
+            runners = list(self._runners.values())
+        pinned = []
+        for r in runners:
+            model = getattr(r, "model", None)
+            if hasattr(model, "freeze_buckets"):
+                pinned.append(model.freeze_buckets())
+        return pinned
+
     def submit(self, task: dict, timeout: float | None = None) -> dict:
         timeout = timeout or self.request_timeout
         task["id"] = uuid.uuid4().hex
@@ -441,11 +456,36 @@ def main(argv=None):
                         data_parallel=args.data_parallel,
                         tensor_parallel=args.tensor_parallel)
     if args.warmup:
+        # graded lengths compile the bucket ladder typical requests hit; the
+        # streaming pass compiles the small first-chunk (TTFA) bucket; the
+        # freeze pins kokoro's frame buckets so no compile/AOT-load can land
+        # on the serving path afterwards (p99 guard — predictions round up
+        # within the warmed set)
         print("warming up (model load + compile)...", file=sys.stderr)
-        result = state.submit({"kind": "tts", "model": state.default_model,
-                               "prompt": "warm up.", "config": default_config})
-        print(f"warmup {'ok' if result['success'] else 'FAILED: ' + result['message']}",
-              file=sys.stderr)
+        warm_prompts = [
+            "Warm up.",
+            "The quick brown fox jumps over the lazy dog near the river bank.",
+            "A longer warmup utterance exercises the larger frame buckets: "
+            "it spans several clauses and phrases, so the shape ladder the "
+            "server will use for typical requests is compiled before the "
+            "first client request ever arrives.",
+        ]
+        ok = True
+        for wp in warm_prompts:
+            result = state.submit({"kind": "tts", "model": state.default_model,
+                                   "prompt": wp, "config": default_config})
+            ok = ok and result["success"]
+            if not result["success"]:
+                print(f"warmup FAILED: {result['message']}", file=sys.stderr)
+        runner, lock = state._get_runner(state.default_model)
+        if hasattr(runner, "generate_stream"):
+            with lock:
+                for _ in runner.generate_stream(warm_prompts[0], default_config):
+                    break
+        pinned = state.freeze_warm_buckets()
+        if pinned:
+            print(f"warmup pinned frame buckets: {pinned}", file=sys.stderr)
+        print(f"warmup {'ok' if ok else 'FAILED'}", file=sys.stderr)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(state))
     scheme = wrap_ssl(server, args.ssl_file_cert, args.ssl_file_key)
     print(f"tts-server listening on {scheme}://{args.host}:{args.port} "
