@@ -92,6 +92,24 @@ def conv_shift(x, w, b=None, *, padding=0, dilation=1):
     return acc.astype(x.dtype)
 
 
+def conv_tapcat(x, w, b=None, *, padding=0, dilation=1):
+    """Conv as ONE matmul: concat the K shifted views into [T, K*C] and hit
+    [K*C, C_out] — larger contraction dim for MXU utilization at the cost of
+    materializing K x the activation bytes."""
+    T = x.shape[0]
+    k = w.shape[-1]
+    span = dilation * (k - 1)
+    xp = jnp.pad(x, ((padding, span - padding), (0, 0)))
+    taps = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, 0) for j in range(k)],
+        axis=1)                                        # [T, K*C]
+    wt = w.transpose(2, 1, 0).reshape(k * w.shape[1], w.shape[0]).astype(x.dtype)
+    acc = jax.lax.dot(taps, wt, preferred_element_type=jnp.float32)
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
 x1 = arr(W1, C1)
 w7 = arr(C1, C1, 7, dtype=jnp.float32)
 w3 = arr(C1, C1, 3, dtype=jnp.float32)
@@ -99,14 +117,16 @@ w11 = arr(C1, C1, 11, dtype=jnp.float32)
 b1 = arr(C1, dtype=jnp.float32)
 
 bench("control x+1", lambda x: x + 1, x1)
-for name, f in [("nch", conv1d), ("nwc", conv_nwc), ("shift", conv_shift)]:
+for name, f in [("nch", conv1d), ("nwc", conv_nwc), ("shift", conv_shift),
+                ("tapcat", conv_tapcat)]:
     bench(f"{name} k7 d1", lambda x, f=f: f(x, w7, b1, padding=3), x1)
     bench(f"{name} k7 d3", lambda x, f=f: f(x, w7, b1, padding=9, dilation=3), x1)
     bench(f"{name} k3 d1", lambda x, f=f: f(x, w3, b1, padding=1), x1)
     bench(f"{name} k11 d5", lambda x, f=f: f(x, w11, b1, padding=25, dilation=5), x1)
 
 ref = np.asarray(conv1d(x1, w7, b1, padding=9, dilation=3), np.float32)
-for name, f in [("nwc", conv_nwc), ("shift", conv_shift)]:
+for name, f in [("nwc", conv_nwc), ("shift", conv_shift),
+                ("tapcat", conv_tapcat)]:
     got = np.asarray(f(x1, w7, b1, padding=9, dilation=3), np.float32)
     err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     print(f"{name} k7 d3 rel err vs nch: {err:.2e}", flush=True)
