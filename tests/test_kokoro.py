@@ -167,9 +167,9 @@ def test_per_voice_frame_rate_no_cross_pollution(tmp_path_factory):
     calls = []
     orig = aot.call_cached
 
-    def counting(name, key, fn, *args):
-        calls.append(key)
-        return orig(name, key, fn, *args)
+    def counting(name, static_repr, fn, *args, **kw):
+        calls.append(static_repr)
+        return orig(name, static_repr, fn, *args, **kw)
 
     aot.call_cached = counting
     try:

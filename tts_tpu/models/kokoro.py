@@ -692,6 +692,7 @@ class KokoroModel:
         self._bucket_events: list = []
         self._fused_jits: dict = {}
         self._fused_packed_jits: dict = {}
+        self._aot_keys: dict = {}           # (F, Tb) -> AOT cache key
         self._voice_packs_dev: dict = {}
 
     def _fused(self, F: int):
@@ -846,11 +847,18 @@ class KokoroModel:
         F = self._pick_frame_bucket(predicted)
 
         def run(F):
-            # AOT-export cache skips per-process trace+lower of this graph
-            from tts_tpu.runtime.aot import call_cached
-            packed = np.asarray(call_cached(
-                "kokoro_fused_packed", f"F={F}|{cfg!r}", self._fused_packed(F),
-                self.params, pack, jnp.asarray(arr), self.window))
+            # AOT-export cache skips per-process trace+lower of this graph;
+            # the cache KEY is memoized per (F, Tb) — computing it walks the
+            # whole params pytree, ~2 ms of host time per call (measured)
+            from tts_tpu.runtime import aot
+            fn = self._fused_packed(F)
+            args = (self.params, pack, jnp.asarray(arr), self.window)
+            key = self._aot_keys.get((F, Tb))
+            if key is None:
+                key = aot.make_key("kokoro_fused_packed", f"F={F}|{cfg!r}", args)
+                self._aot_keys[(F, Tb)] = key
+            packed = np.asarray(aot.call_cached(
+                "kokoro_fused_packed", f"F={F}|{cfg!r}", fn, *args, key=key))
             # .copy(): a sliced int16 view is only 4-byte aligned when F*up
             # is even — don't depend on the upsampling factor's parity
             total = int(packed[-4:-2].copy().view(np.int32)[0])

@@ -56,6 +56,11 @@ def _code_fingerprint() -> str:
     return _CODE_FP
 
 
+def make_key(name: str, static_repr: str, args) -> str:
+    """Public form of `_key` for callers that memoize (see `call_cached`)."""
+    return _key(name, static_repr, args)
+
+
 def _key(name: str, static_repr: str, args) -> str:
     import jax
 
@@ -67,17 +72,25 @@ def _key(name: str, static_repr: str, args) -> str:
     return name + "-" + hashlib.sha256(raw.encode()).hexdigest()[:16]
 
 
-def call_cached(name: str, static_repr: str, jitted_fn, *args):
+def call_cached(name: str, static_repr: str, jitted_fn, *args, key: str | None = None):
     """Call `jitted_fn(*args)` through the AOT cache.
 
     `jitted_fn` must be a jax.jit'd callable CLOSED OVER its static arguments
     (e.g. functools.partial over the jit with cfg/F bound); `args` are the
     dynamic arguments only.
+
+    `key`: precomputed cache key (from `make_key` on the same name /
+    static_repr / arg structure).  Computing the key walks the whole params
+    pytree and formats every leaf — ~2 ms of host time per call on the
+    Kokoro graph (measured) — so hot callers memoize it per bucket and pass
+    it in; the key only depends on static config and arg SHAPES, which are
+    fixed per (token, frame) bucket.
     """
     directory = cache_dir()
     if directory is None:
         return jitted_fn(*args)
-    key = _key(name, static_repr, args)
+    if key is None:
+        key = _key(name, static_repr, args)
     fn = _MEM.get(key)
     if fn is None:
         import jax
