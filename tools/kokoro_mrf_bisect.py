@@ -67,6 +67,8 @@ b1 = arr(C, dtype=jnp.float32)
 
 bench("control x+1", lambda x: x + 1, x)
 bench("adain masked", lambda x: ada_instance_norm(x, gamma, beta, mask=mask), x)
+bench("adain zero-tail", lambda x: ada_instance_norm(x, gamma, beta, mask=mask,
+                                                     zero_tail=True), x)
 bench("adain unmasked", lambda x: ada_instance_norm(x, gamma, beta), x)
 bench("snake", lambda x: snake(x, alpha), x)
 bench("mask-mult", lambda x: x * mask.astype(x.dtype)[:, None], x)
@@ -74,15 +76,14 @@ bench("conv k7 d3", lambda x: conv1d(x, w7, b1, padding=9, dilation=3), x)
 
 
 def pair(x):
-    """One conv pair exactly as _gen_res_block_apply composes it."""
+    """One conv pair exactly as _gen_res_block_apply composes it (current)."""
     mcol = mask.astype(x.dtype)[:, None]
-    cur = ada_instance_norm(x, gamma, beta, mask=mask)
+    cur = ada_instance_norm(x, gamma, beta, mask=mask, zero_tail=True)
     cur = snake(cur, alpha)
-    cur = cur * mcol
     cur = conv1d(cur, w7, b1, padding=9, dilation=3)
-    cur = ada_instance_norm(cur, gamma, beta, mask=mask)
-    cur = snake(cur, alpha)
     cur = cur * mcol
+    cur = ada_instance_norm(cur, gamma, beta, mask=mask, zero_tail=True)
+    cur = snake(cur, alpha)
     cur = conv1d(cur, w7, b1, padding=3)
     return x + cur * mcol
 

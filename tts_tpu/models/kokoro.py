@@ -422,18 +422,22 @@ def _gen_res_block_apply(x, blk, style, geom, mask=None):
         padding, dilation = geom[j]
         gamma = style @ blk["g1_w"][j] + blk["g1_b"][j]
         beta = style @ blk["b1_w"][j] + blk["b1_b"][j]
-        cur = ada_instance_norm(inp, gamma, beta, mask=mask)
+        # `inp` keeps the zero-tail invariant (caller masks the level input;
+        # every conv below is mask-multiplied), so both AdaINs take the
+        # cheap zero_tail stats path; snake maps 0 -> 0 exactly, so no
+        # re-mask is needed between AdaIN (which masks its output) and the
+        # conv.  Measured per [23040,128] op (tools/kokoro_mrf_bisect.py):
+        # masked AdaIN 0.046 ms -> zero_tail ~unmasked 0.020 ms.
+        cur = ada_instance_norm(inp, gamma, beta, mask=mask, zero_tail=True)
         cur = snake(cur, blk["alpha1"][j])
-        if mcol is not None:
-            cur = cur * mcol
         cur = conv1d(cur, blk["convs1_w"][j], blk["convs1_b"][j],
                      padding=padding, dilation=dilation)
-        gamma = style @ blk["g2_w"][j] + blk["g2_b"][j]
-        beta = style @ blk["b2_w"][j] + blk["b2_b"][j]
-        cur = ada_instance_norm(cur, gamma, beta, mask=mask)
-        cur = snake(cur, blk["alpha2"][j])
         if mcol is not None:
             cur = cur * mcol
+        gamma = style @ blk["g2_w"][j] + blk["g2_b"][j]
+        beta = style @ blk["b2_w"][j] + blk["b2_b"][j]
+        cur = ada_instance_norm(cur, gamma, beta, mask=mask, zero_tail=True)
+        cur = snake(cur, blk["alpha2"][j])
         cur = conv1d(cur, blk["convs2_w"][j], blk["convs2_b"][j], padding=geom[0][0])
         if mcol is not None:
             cur = cur * mcol
