@@ -74,7 +74,7 @@ def lstm(x, params, *, reverse: bool = False, mask=None):
     return ys
 
 
-def bilstm(x, fwd_params, bwd_params, *, mask=None):
+def bilstm(x, fwd_params, bwd_params, *, mask=None, unroll: int = 1):
     """Bidirectional LSTM: concat(fwd, bwd) along features, like
     kokoro/model.cpp:47-49.
 
@@ -106,5 +106,7 @@ def bilstm(x, fwd_params, bwd_params, *, mask=None):
 
     init = (jnp.zeros((2, hidden), x.dtype), jnp.zeros((2, hidden), x.dtype))
     steps = (jnp.stack([xp_f, xp_b], axis=1), jnp.stack([m, m[::-1]], axis=1))
-    _, ys = jax.lax.scan(step, init, steps)               # [T, 2, H]
+    # unroll trades compiled-code size for per-iteration loop overhead; the
+    # math chain is unchanged (same ops, same order)
+    _, ys = jax.lax.scan(step, init, steps, unroll=unroll)  # [T, 2, H]
     return jnp.concatenate([ys[:, 0], ys[::-1, 1]], axis=-1)
