@@ -58,7 +58,13 @@ def test_bucket_invariance(tiny_runner):
     finally:
         K.FRAME_BUCKETS = orig
     assert audio_small.shape == audio_big.shape
-    np.testing.assert_allclose(audio_small, audio_big, atol=2e-4)
+    # 2e-4 covers the cross-bucket bf16 noise; the transfer quantization
+    # (TRANSFER_BITS, peak-relative) can add one quantization step on top
+    # when the bf16 noise crosses a rounding boundary
+    step = 2047.0 if K.TRANSFER_BITS == 12 else 32767.0
+    peak = float(np.abs(audio_small).max()) + 1e-9
+    np.testing.assert_allclose(audio_small, audio_big,
+                               atol=2e-4 + peak / step)
 
 
 def test_packed_protocol_matches_explicit_args(tiny_runner):
@@ -88,8 +94,9 @@ def test_packed_protocol_matches_explicit_args(tiny_runner):
     arr[:T] = token_ids
     arr[-2] = T
     arr[-1] = seed
+    p = model._flat_params() if model.use_flat_params else model.params
     packed = np.asarray(model._fused_packed(F)(
-        model.params, model._voice_pack("af_heart"), jnp.asarray(arr),
+        p, model._voice_pack("af_heart"), jnp.asarray(arr),
         model.window))
     np.testing.assert_array_equal(explicit, packed)
 
@@ -235,3 +242,53 @@ def test_frozen_buckets_pin_serving_path(tiny_runner):
         assert model._pick_frame_bucket(60) == 64          # stays pinned
     finally:
         model._pinned_fbuckets = saved
+
+
+def test_transfer_bits_12_optin(tmp_path_factory):
+    """The opt-in 12-bit packed D2H transfer decodes to within one
+    quantization step of the 16-bit default, and the flag is snapshotted
+    per model (mutating the module global after build must not
+    desynchronize trace-time packing from host unpack)."""
+    from tts_tpu.models import kokoro as K
+
+    path = tmp_path_factory.mktemp("kokoro12") / "tiny12.gguf"
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    tokens = [0, 1, 2, 3, 16, 4, 5, 0]
+
+    a16 = runner_from_file(str(path)).model.synthesize(tokens, "af_heart",
+                                                       seed=3)
+    orig = K.TRANSFER_BITS
+    K.TRANSFER_BITS = 12
+    try:
+        m12 = runner_from_file(str(path)).model
+    finally:
+        K.TRANSFER_BITS = orig           # snapshot taken at construction
+    assert m12.transfer_bits == 12
+    a12 = m12.synthesize(tokens, "af_heart", seed=3)
+
+    assert a16.shape == a12.shape
+    peak = float(np.abs(a16).max()) + 1e-9
+    # one 12-bit step re the peak, plus the 16-bit step both sides carry
+    np.testing.assert_allclose(a12, a16, atol=peak * (1 / 2047 + 1 / 32767))
+
+
+def test_flat_params_optin_bit_identical(tmp_path_factory):
+    """The opt-in single-flat-buffer weight upload reconstructs the exact
+    pytree in-graph: audio is BIT-identical to the per-leaf default."""
+    from tts_tpu.models import kokoro as K
+
+    path = tmp_path_factory.mktemp("kokorofp") / "tinyfp.gguf"
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    tokens = [0, 1, 2, 3, 16, 4, 5, 0]
+
+    a_tree = runner_from_file(str(path)).model.synthesize(tokens, "af_heart",
+                                                          seed=5)
+    orig = K.FLAT_PARAMS
+    K.FLAT_PARAMS = True
+    try:
+        m_flat = runner_from_file(str(path)).model
+    finally:
+        K.FLAT_PARAMS = orig
+    assert m_flat.use_flat_params
+    a_flat = m_flat.synthesize(tokens, "af_heart", seed=5)
+    np.testing.assert_array_equal(a_tree, a_flat)

@@ -23,6 +23,7 @@ consumed by kokoro/model.cpp:414-696.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -39,6 +40,7 @@ from tts_tpu.ops.conv import conv1d, conv_transpose1d, reflect_pad_front
 from tts_tpu.ops.lstm import bilstm, pack_lstm_params
 from tts_tpu.ops.resample import upsample_linear, upsample_nearest
 from tts_tpu.ops.stft import hann_window, istft, stft, window_squared_sum
+from tts_tpu.runtime.api import TTSError
 
 
 # ---------------------------------------------------------------------------
@@ -480,29 +482,62 @@ def _device_window_sq_sum(window, n_fft: int, hop: int, S: int, n_frames_out):
     return jnp.where(jnp.arange(S) < cutoff, jnp.maximum(wss, 1e-6), 1.0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "F"))
+# D2H transfer word size for the packed fused-graph output.  12-bit packing
+# (3 bytes per 2 samples) cuts the F=192 payload 230 -> 173 KB with error
+# <= peak/4094 (~-72 dBFS re the utterance peak, below audibility), but the
+# interleaved same-session A/B (tools/kokoro_transfer_ab.py) measured NO wall
+# win: 16-bit p50 40.2 ms vs 12-bit 41.6 ms, mins equal — the tunnel's D2H
+# is not bandwidth-linear at ~200 KB payloads and the device-side bit-pack
+# offsets the byte saving.  Default stays 16 (measured -> not adopted);
+# TTS_TPU_TRANSFER_BITS=12 keeps the packed path available for genuinely
+# bandwidth-starved links.
+TRANSFER_BITS = int(os.environ.get("TTS_TPU_TRANSFER_BITS", "16"))
+
+# Ship the weights to the fused dispatch as ONE flat f32 buffer instead of
+# ~590 pytree leaves (the axon execute RPC serializes a handle per leaf —
+# ~3 ms p50 wall, tools/rpc_legs_probe.py).  Opt-in until the on-TPU A/B
+# confirms the slice+reshape reconstruction doesn't cost device time.
+FLAT_PARAMS = os.environ.get("TTS_TPU_FLAT_PARAMS", "0") == "1"
+
+
+@partial(jax.jit, static_argnames=("cfg", "F", "bits"))
 def kokoro_fused_forward(params, cfg: KokoroConfig, F: int, tokens, token_mask,
-                         style_gen, style_pros, noise_key, window):
+                         style_gen, style_pros, noise_key, window,
+                         bits: int = 16):
     """Duration prediction + generation in ONE dispatch (the round-2 lever:
     the axon host<->TPU link costs 15-50 ms per dispatch, and the frame-bucket
     choice is the only host decision between the two graphs — so the host
     PREDICTS the bucket from a running frames-per-token ratio and re-dispatches
     only when the prediction was too small; see KokoroModel.synthesize).
 
-    Returns ONE packed int16 array [F*up + 4]: audio quantized against its
-    own peak (error <= peak/65534, far below the 16-bit WAV the apps write),
-    then total_frames (int32) and the peak (f32), each bitcast into two
-    int16s.  One buffer = one D2H transfer, and int16 halves the bytes on the
-    bandwidth-starved tunnel (the D2H link has been measured as low as
-    ~40 MB/s); `KokoroModel.synthesize` unpacks."""
+    Returns ONE packed byte/int16 array: audio quantized against its own
+    peak, then total_frames (int32) and the peak (f32) bitcast into the
+    tail.  One buffer = one D2H transfer on the bandwidth-starved tunnel;
+    `bits` picks 12-bit packed (uint8[S*3/2 + 8]) or 16-bit (int16[S + 4]);
+    models snapshot TRANSFER_BITS at construction.  `KokoroModel.synthesize`
+    unpacks."""
     sums, hidden = duration_raw(params, cfg, tokens, token_mask, style_pros)
     durations = jnp.clip(jnp.round(sums), 1.0, 50.0) * token_mask
     audio = _generation_body(params, cfg, F, tokens, token_mask, durations,
                              hidden, style_gen, style_pros, noise_key, window)
     peak = jnp.max(jnp.abs(audio)) + 1e-9
+    total = jnp.sum(durations).astype(jnp.int32)
+    if bits == 12:
+        assert audio.shape[0] % 2 == 0
+        q = jnp.clip(jnp.round(audio / peak * 2047.0),
+                     -2047, 2047).astype(jnp.int32) + 2048      # [S] in [1,4095]
+        v = q.reshape(-1, 2)
+        b0 = v[:, 0] & 0xFF
+        b1 = (v[:, 0] >> 8) | ((v[:, 1] & 0xF) << 4)
+        b2 = v[:, 1] >> 4
+        payload = jnp.stack([b0, b1, b2], axis=1).astype(jnp.uint8).reshape(-1)
+        tail = jnp.concatenate([
+            jax.lax.bitcast_convert_type(total[None], jnp.uint8).reshape(-1),
+            jax.lax.bitcast_convert_type(
+                peak.astype(jnp.float32)[None], jnp.uint8).reshape(-1)])
+        return jnp.concatenate([payload, tail])
     pcm = jnp.round(audio / peak * 32767.0).astype(jnp.int16)
-    total16 = jax.lax.bitcast_convert_type(
-        jnp.sum(durations).astype(jnp.int32)[None], jnp.int16).reshape(-1)
+    total16 = jax.lax.bitcast_convert_type(total[None], jnp.int16).reshape(-1)
     peak16 = jax.lax.bitcast_convert_type(
         peak.astype(jnp.float32)[None], jnp.int16).reshape(-1)
     return jnp.concatenate([pcm, total16, peak16])
@@ -672,12 +707,17 @@ def pick_bucket(n: int, buckets) -> int:
 class KokoroModel:
     """Device-facing model state: config + params + jit caches."""
 
-    device_arrays = ("params", "window", "_voice_packs_dev")
+    device_arrays = ("params", "window", "_voice_packs_dev", "_flat")
 
     def __init__(self, cfg: KokoroConfig, params: dict):
         self.cfg = cfg
         self.params = params
         self.window = jnp.asarray(hann_window(cfg.n_fft))
+        # snapshot the transfer/upload policy flags at construction: the
+        # traced graphs bake them in, so mutating the module globals after
+        # build must not desynchronize trace-time packing from host unpack
+        self.transfer_bits = TRANSFER_BITS
+        self.use_flat_params = FLAT_PARAMS
         # running frames-per-token estimate for the fused-dispatch bucket
         # prediction, PER VOICE (speaking rate is a voice property; a shared
         # scalar cross-pollutes predictions and pays re-dispatches until the
@@ -698,6 +738,8 @@ class KokoroModel:
         self._fused_packed_jits: dict = {}
         self._aot_keys: dict = {}           # (F, Tb) -> AOT cache key
         self._voice_packs_dev: dict = {}
+        self._flat = None                   # see _flat_params
+        self._flat_spec = None
 
     def _fused(self, F: int):
         """Per-bucket jit of the fused graph with statics closed over, so the
@@ -707,13 +749,50 @@ class KokoroModel:
             cfg = self.cfg
             body = kokoro_fused_forward.__wrapped__
 
+            bits = self.transfer_bits
+
             @jax.jit
             def fused(params, tokens, mask, style_gen, style_pros, key, window):
                 return body(params, cfg, F, tokens, mask, style_gen,
-                            style_pros, key, window)
+                            style_pros, key, window, bits)
 
             self._fused_jits[F] = fn = fused
         return fn
+
+    # subtrees the fused graph actually reads ("voices" is host/pack-side)
+    _GRAPH_KEYS = ("albert", "dp", "decoder", "text_encoder")
+
+    def _flat_params(self):
+        """ONE f32 device buffer holding every graph weight, plus the spec to
+        rebuild the pytree inside the trace.  The axon execute RPC serializes
+        a buffer handle per argument leaf — ~590 of them measured ~3 ms p50
+        wall over the tunnel vs one flat buffer (tools/rpc_legs_probe.py);
+        slicing the weights back out inside the graph is static-offset
+        slice+reshape that XLA folds into layout reads."""
+        if self._flat is None:
+            sub = {k: self.params[k] for k in self._GRAPH_KEYS}
+            leaves, treedef = jax.tree_util.tree_flatten(sub)
+            bad = {str(l.dtype) for l in leaves if l.dtype != jnp.float32}
+            if bad:  # the f32 concat would silently change numerics
+                raise TTSError(
+                    f"FLAT_PARAMS requires all-f32 graph weights, found {bad}")
+            offs, shapes, off = [], [], 0
+            for leaf in leaves:
+                offs.append(off)
+                shapes.append(tuple(leaf.shape))
+                off += int(leaf.size)
+            self._flat = jnp.concatenate(
+                [jnp.ravel(leaf).astype(jnp.float32) for leaf in leaves])
+            self._flat_spec = (treedef, tuple(offs), tuple(shapes))
+        return self._flat
+
+    def _unflatten_graph_params(self, flat):
+        treedef, offs, shapes = self._flat_spec
+        leaves = [
+            flat[o : o + int(np.prod(s, dtype=np.int64))].reshape(s)
+            for o, s in zip(offs, shapes)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def _fused_packed(self, F: int):
         """_fused with the HOST PROTOCOL folded into the graph: ONE int32
@@ -724,7 +803,8 @@ class KokoroModel:
         (traced seed) are derived on device — token-rate ops, free next to
         the generation body — and the voice pack lives on device.  Under the
         axon tunnel every distinct transfer pays the per-dispatch latency
-        floor (CLAUDE.md), so argument count is wall time."""
+        floor (CLAUDE.md), so argument count is wall time.  With FLAT_PARAMS
+        the weights ride as ONE flat buffer (see _flat_params)."""
         fn = self._fused_packed_jits.get(F)
         if fn is None:
             self._bucket_events.append(F)
@@ -732,15 +812,26 @@ class KokoroModel:
             half = cfg.style_half_size
             body = kokoro_fused_forward.__wrapped__
 
-            @jax.jit
-            def fused(params, pack, arr, window):
+            bits = self.transfer_bits
+
+            def protocol(params, pack, arr, window):
                 tokens = arr[:-2]
                 t = arr[-2]
                 mask = (jnp.arange(arr.shape[0] - 2) < t).astype(jnp.float32)
                 row = pack[jnp.clip(t - 3, 0, pack.shape[0] - 1)]
                 key = jax.random.PRNGKey(arr[-1].astype(jnp.uint32))
                 return body(params, cfg, F, tokens, mask, row[:half],
-                            row[half : 2 * half], key, window)
+                            row[half : 2 * half], key, window, bits)
+
+            if self.use_flat_params:
+                self._flat_params()        # build the spec before tracing
+
+                @jax.jit
+                def fused(flat, pack, arr, window):
+                    return protocol(self._unflatten_graph_params(flat),
+                                    pack, arr, window)
+            else:
+                fused = jax.jit(protocol)
 
             self._fused_packed_jits[F] = fn = fused
         return fn
@@ -856,20 +947,38 @@ class KokoroModel:
             # whole params pytree, ~2 ms of host time per call (measured)
             from tts_tpu.runtime import aot
             fn = self._fused_packed(F)
-            args = (self.params, pack, jnp.asarray(arr), self.window)
+            p = self._flat_params() if self.use_flat_params else self.params
+            # `arr` rides as a plain numpy array: an explicit jnp.asarray is
+            # a separate transfer RPC over the tunnel (~1 ms p50 measured,
+            # tools/kokoro_micro_ab.py); inline in the execute call it's free
+            args = (p, pack, arr, self.window)
+            static = (f"F={F}|tb={self.transfer_bits}"
+                      f"|fp={int(self.use_flat_params)}|{cfg!r}")
             key = self._aot_keys.get((F, Tb))
             if key is None:
-                key = aot.make_key("kokoro_fused_packed", f"F={F}|{cfg!r}", args)
+                key = aot.make_key("kokoro_fused_packed", static, args)
                 self._aot_keys[(F, Tb)] = key
             packed = np.asarray(aot.call_cached(
-                "kokoro_fused_packed", f"F={F}|{cfg!r}", fn, *args, key=key))
+                "kokoro_fused_packed", static, fn, *args, key=key))
+            if self.transfer_bits == 12:
+                # uint8[S*3/2 + 8]: 12-bit packed pairs, then int32 total +
+                # f32 peak bitcast into the 8-byte tail
+                total = int(packed[-8:-4].copy().view(np.int32)[0])
+                peak = float(packed[-4:].copy().view(np.float32)[0])
+                b = packed[:-8].reshape(-1, 3).astype(np.uint16)
+                v0 = (b[:, 0] | ((b[:, 1] & 0xF) << 8)).astype(np.int32)
+                v1 = ((b[:, 1] >> 4) | (b[:, 2] << 4)).astype(np.int32)
+                q = np.empty(2 * v0.size, np.int32)
+                q[0::2] = v0
+                q[1::2] = v1
+                return q - 2048, total, peak, 2047.0
             # .copy(): a sliced int16 view is only 4-byte aligned when F*up
             # is even — don't depend on the upsampling factor's parity
             total = int(packed[-4:-2].copy().view(np.int32)[0])
             peak = float(packed[-2:].copy().view(np.float32)[0])
-            return packed[:-4], total, peak
+            return packed[:-4], total, peak, 32767.0
 
-        pcm, total, peak = run(F)
+        pcm, total, peak, denom = run(F)
         if total <= 0:
             return np.zeros(0, np.float32)
         prev = self._frames_per_token.get(voice)
@@ -879,7 +988,7 @@ class KokoroModel:
         if total > F:
             # prediction too small: re-dispatch at the right bucket (rare)
             F = self._pick_frame_bucket(total)
-            pcm, total, peak = run(F)
+            pcm, total, peak, denom = run(F)
         # audio + total + peak arrive in ONE int16 transfer, unpacked
         # host-side; total can only exceed F if it exceeds the largest
         # bucket (clamped truncation)
@@ -890,4 +999,4 @@ class KokoroModel:
                 "audio truncated — split the input text into shorter chunks",
                 total, F)
         n = min(total, F) * cfg.up_sampling_factor
-        return pcm[:n].astype(np.float32) * (peak / 32767.0)
+        return pcm[:n].astype(np.float32) * (peak / denom)

@@ -109,6 +109,16 @@ def call_cached(name: str, static_repr: str, jitted_fn, *args, key: str | None =
                     f.write(exported.serialize())
                 os.replace(tmp, path)
             fn = jax.jit(exported.call)
+            try:
+                # dispatch through the AOT-Compiled object: the re-jitted
+                # exported.call pays ~1 ms/call of python arg processing on
+                # the hot path (tools/kokoro_micro_ab.py: direct jit 49.9 ms
+                # p50 vs aot-wrapped 50.9); lower+compile replays the
+                # StableHLO (no Python re-trace) and Compiled.__call__ is
+                # the fast path.  Shapes are fixed per cache key.
+                fn = fn.lower(*args).compile()
+            except Exception:
+                pass  # keep the plain re-jit wrapper
         except Exception as e:  # fail open
             logger.warning("aot cache unavailable for %s (%s); using plain jit",
                            name, e)
