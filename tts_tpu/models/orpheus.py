@@ -846,8 +846,7 @@ class OrpheusRunner(TTSRunner):
         # sequential loop: its PRNG-consumption contract (stream == generate
         # for the same seed) would not survive chunk-dependent draft windows.
         import os as _os
-        spec = (self.mesh is None and not _os.environ.get("TTS_TPU_NO_SPEC")
-                and not config.sample)
+        spec = not _os.environ.get("TTS_TPU_NO_SPEC") and not config.sample
         spec_k = 7
         out_buf = (jnp.full((cfg.max_generation_size + spec_k + 1,),
                             cfg.stopping_token_id, jnp.int32) if spec else None)
@@ -951,9 +950,15 @@ class OrpheusRunner(TTSRunner):
         # 209 tok/s — the per-window residual-redraw/top-p filtering over
         # [k+1, V] costs more than the saved weight reads), so it was removed
         # (VERDICT r3 item 2b: measured -> reverted).  TTS_TPU_NO_SPEC=1
-        # forces the one-token-per-step loop everywhere.
+        # forces the one-token-per-step loop everywhere.  The spec loop also
+        # runs under TP (VERDICT r4 item 2): its verify forward is the same
+        # _orpheus_body the TP sequential loop already runs — quantized
+        # linears in shard_map islands, einsum attention at T=k+1 (flash
+        # requires T==1 either way) — and the n-gram drafter is replicated
+        # scalar work; tests/test_parallel.py asserts TP spec == TP
+        # sequential == unsharded greedy tokens.
         import os as _os
-        spec_ok = self.mesh is None and not _os.environ.get("TTS_TPU_NO_SPEC")
+        spec_ok = not _os.environ.get("TTS_TPU_NO_SPEC")
         if spec_ok and not config.sample:
             tokens_arr, n_generated, cache = orpheus_decode_loop_spec(
                 self.params, cfg, first[0], jnp.asarray(T, jnp.int32),
