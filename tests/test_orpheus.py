@@ -266,3 +266,48 @@ def test_stream_spec_resume_matches_sequential_stream(runner, monkeypatch):
     a, b = np.concatenate(spec), np.concatenate(seq)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=0)
+
+
+def test_frozen_prompt_buckets_pin_serving_path(tmp_path):
+    """After freeze_buckets(), a shorter prompt must NOT compile a new
+    prompt bucket (VERDICT r4 item 4 — the AR analog of
+    test_frozen_buckets_pin_serving_path): prompts round up to the nearest
+    pinned bucket with identical greedy output, and only a prompt longer
+    than every pinned bucket falls back to the full ladder."""
+    from tts_tpu.models.orpheus import PROMPT_BUCKETS
+
+    path = str(tmp_path / "tiny_orpheus.gguf")
+    write_orpheus_gguf(path)
+    cfg = GenerationConfig(sample=False, seed=0, max_tokens=21, voice="zoe")
+
+    long_text = "the quick brown fox jumps over the lazy dog " * 2
+    short_text = "hi"
+
+    r = runner_from_file(path, cfg)
+    a_long = r.generate(long_text, cfg)
+    events_warm = r.bucket_events()
+    assert events_warm, "warmup recorded no prompt-bucket events"
+    pinned = r.freeze_buckets()
+    assert pinned == tuple(sorted(set(events_warm)))
+
+    # the short prompt's natural bucket is SMALLER than the pinned one:
+    # selection must round up within the pinned set (no new bucket event)
+    a_short = r.generate(short_text, cfg)
+    assert r.bucket_events() == events_warm, \
+        "short prompt compiled a new bucket despite freeze"
+
+    # identical tokens/audio to an unpinned runner padding to the natural
+    # (smaller) bucket: prefill masking makes the bucket invisible
+    r2 = runner_from_file(path, cfg)
+    b_short = r2.generate(short_text, cfg)
+    assert r2.bucket_events() != events_warm  # really used a different bucket
+    np.testing.assert_array_equal(a_short.audio, b_short.audio)
+
+    # a prompt beyond every pinned bucket falls back to the full ladder
+    r._pinned_pbuckets = (PROMPT_BUCKETS[0],)
+    n = PROMPT_BUCKETS[0] + 1
+    assert r._prompt_bucket(n, PROMPT_BUCKETS) == next(
+        b for b in PROMPT_BUCKETS if n <= b)
+    assert r._prompt_bucket(2, PROMPT_BUCKETS) == PROMPT_BUCKETS[0]
+
+    del a_long

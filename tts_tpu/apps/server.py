@@ -164,11 +164,14 @@ class ServerState:
                     self.results_cv.notify_all()
 
     def freeze_warm_buckets(self) -> list:
-        """Pin every loaded Kokoro runner's frame-bucket ladder to the set
-        compiled so far (call after warmup): predictions round up within the
-        pinned set instead of ever compiling a new bucket mid-serving — the
-        production p99 guard.  Predictions beyond the pinned max still fall
-        back to the full ladder.  Returns the pinned tuples."""
+        """Pin every loaded runner's bucket ladders to the sets compiled so
+        far (call after warmup) — the production p99 guard.  Kokoro pins its
+        frame buckets (model.freeze_buckets); the AR runners pin their
+        prompt token-buckets (TTSRunner.freeze_buckets), so a first
+        unusually long prompt after warmup rounds up within the warmed set
+        instead of compiling a new prefill graph mid-serving.  Selections
+        beyond a pinned max still fall back to the full ladder.  Returns the
+        pinned tuples."""
         with self._cache_lock:
             runners = list(self._runners.values())
         pinned = []
@@ -176,6 +179,8 @@ class ServerState:
             model = getattr(r, "model", None)
             if hasattr(model, "freeze_buckets"):
                 pinned.append(model.freeze_buckets())
+            if hasattr(r, "freeze_buckets"):
+                pinned.append(r.freeze_buckets())
         return pinned
 
     def submit(self, task: dict, timeout: float | None = None) -> dict:

@@ -817,7 +817,7 @@ class OrpheusRunner(TTSRunner):
         if len(ids) > cfg.max_context_length:
             raise TTSError("The prompt was too large for the default context window.")
         T = len(ids)
-        Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
+        Tb = self._prompt_bucket(T, PROMPT_BUCKETS)
         tokens = np.zeros(Tb, np.int32)
         tokens[:T] = ids
 
@@ -918,7 +918,7 @@ class OrpheusRunner(TTSRunner):
             raise TTSError("The prompt was too large for the default context "
                            "window. Try splitting up or shortening the prompt.")
         T = len(ids)
-        Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
+        Tb = self._prompt_bucket(T, PROMPT_BUCKETS)
         tokens = np.zeros(Tb, np.int32)
         tokens[:T] = ids
 

@@ -76,5 +76,37 @@ class TTSRunner:
     def list_voices(self) -> list[str]:
         return []
 
+    # -- prompt-bucket pinning (production p99 guard) ----------------------
+    # The AR runners (orpheus/parler) pad the prompt to a token bucket; a
+    # first unusually long prompt after warmup would otherwise compile a new
+    # prefill graph mid-serving — the same tail class KokoroModel's
+    # freeze_buckets kills for frame buckets (VERDICT r4 item 4).  Runners
+    # route bucket choice through _prompt_bucket; after freeze_buckets()
+    # prompts round UP within the warmed set (a few padded tokens of extra
+    # prefill compute) and only a prompt longer than every warmed bucket
+    # falls back to the full ladder (and records the event).
+
+    def _prompt_bucket(self, n: int, ladder) -> int:
+        pinned = getattr(self, "_pinned_pbuckets", None)
+        if pinned and n <= pinned[-1]:
+            return next(b for b in pinned if n <= b)
+        b = next((x for x in ladder if n <= x), ladder[-1])
+        events = self.__dict__.setdefault("_bucket_events", [])
+        if b not in events:
+            events.append(b)
+        return b
+
+    def freeze_buckets(self) -> tuple:
+        """Pin prompt-bucket selection to the buckets used so far (call after
+        warmup).  Returns the pinned set."""
+        self._pinned_pbuckets = tuple(
+            sorted(set(self.__dict__.get("_bucket_events", []))))
+        return self._pinned_pbuckets
+
+    def bucket_events(self) -> list:
+        """Prompt buckets first-used by this runner, in order (events after
+        freeze_buckets() are post-warmup cold compiles)."""
+        return list(self.__dict__.get("_bucket_events", []))
+
     def update_conditional_prompt(self, text_encoder_path: str, prompt: str) -> None:
         raise TTSError(f"{self.architecture} does not support conditional prompts")
