@@ -94,3 +94,52 @@ def test_quantized_dia_stays_int8(tmp_path):
     assert L0["sa_q"]["scales"].dtype == jnp.uint16
     resp = runner.generate("[S1] hi there.", GenerationConfig(seed=0, max_tokens=20))
     assert np.isfinite(resp.audio).all()
+
+
+def test_speculative_greedy_matches_sequential(runner, monkeypatch):
+    """The CFG speculative greedy loop (VERDICT r4 item 5) emits rows
+    BIT-IDENTICAL to the sequential loop — drain schedule and stop point
+    included — for generate() and generate_stream(); force_miss too."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.models import dia as D
+
+    cfg = GenerationConfig(seed=4, sample=False, max_tokens=60)
+    a_spec = runner.generate("[S1] speculative dialogue.", cfg)
+    s_spec = list(runner.generate_stream("[S1] speculative dialogue.", cfg,
+                                         chunk_steps=17))
+    s_spec = (np.concatenate(s_spec) if s_spec else np.zeros(0, np.float32))
+
+    monkeypatch.setenv("TTS_TPU_NO_SPEC", "1")
+    a_seq = runner.generate("[S1] speculative dialogue.", cfg)
+    s_seq = list(runner.generate_stream("[S1] speculative dialogue.", cfg,
+                                        chunk_steps=17))
+    s_seq = (np.concatenate(s_seq) if s_seq else np.zeros(0, np.float32))
+    monkeypatch.delenv("TTS_TPU_NO_SPEC")
+
+    assert a_spec.timings["decode_steps"] == a_seq.timings["decode_steps"] > 0
+    np.testing.assert_array_equal(a_spec.audio, a_seq.audio)
+    np.testing.assert_array_equal(s_spec, s_seq)
+    np.testing.assert_allclose(s_spec, a_spec.audio, atol=2e-5, rtol=0)
+
+    # force_miss floor: every draft rejected -> one row per verify window,
+    # rows still exactly equal the sequential loop's
+    dcfg = runner.cfg
+    cross, cache, key, sstate = runner._encode("[S1] speculative dialogue.", cfg)
+    out0 = jnp.full((dcfg.max_generation_size + D.SPEC_K + 1,
+                     dcfg.n_output_heads), dcfg.pad_token_id, jnp.int32)
+    out, lstate, cache = D.dia_decode_loop_spec_resume(
+        runner.params, dcfg, jnp.asarray(60, jnp.int32),
+        jnp.asarray(dcfg.max_generation_size, jnp.int32), cache, cross,
+        D.dia_init_loop_state(dcfg), out0, k=D.SPEC_K, force_miss=True)
+    n = int(lstate[2])
+    assert n == a_seq.timings["decode_steps"]
+
+    cross2, cache2, key2, sstate2 = runner._encode("[S1] speculative dialogue.", cfg)
+    out_seq, n_seq, *_ = D.dia_decode_loop(
+        runner.params, dcfg, jnp.asarray(60, jnp.int32),
+        jnp.asarray(dcfg.max_generation_size, jnp.int32), cache2, cross2,
+        key2, sstate2, D.dia_init_loop_state(dcfg), do_sample=False)
+    np.testing.assert_array_equal(np.asarray(out)[:n],
+                                  np.asarray(out_seq)[:int(n_seq)])

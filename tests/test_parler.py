@@ -124,3 +124,64 @@ def test_quantized_parler_stays_int8(tmp_path):
     resp = runner.generate("hello there", GenerationConfig(seed=0, max_tokens=16))
     import numpy as np
     assert np.isfinite(resp.audio).all()
+
+
+def test_speculative_greedy_matches_sequential(runner, monkeypatch):
+    """The 9-head speculative greedy loop (VERDICT r4 item 5) emits tokens
+    BIT-IDENTICAL to the sequential loop — generate() and generate_stream()
+    alike — and force_miss (every draft rejected) still matches."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.ops.sampling import init_state
+    from tts_tpu.models import parler as P
+
+    cfg = GenerationConfig(seed=2, sample=False, max_tokens=40)
+    a_spec = runner.generate("speculate me", cfg)
+    s_spec = list(runner.generate_stream("speculate me", cfg, chunk_steps=11))
+    s_spec = (np.concatenate(s_spec) if s_spec else np.zeros(0, np.float32))
+
+    monkeypatch.setenv("TTS_TPU_NO_SPEC", "1")
+    a_seq = runner.generate("speculate me", cfg)
+    s_seq = list(runner.generate_stream("speculate me", cfg, chunk_steps=11))
+    s_seq = (np.concatenate(s_seq) if s_seq else np.zeros(0, np.float32))
+    monkeypatch.delenv("TTS_TPU_NO_SPEC")
+
+    assert a_spec.timings["decode_steps"] == a_seq.timings["decode_steps"] > 0
+    np.testing.assert_array_equal(a_spec.audio, a_seq.audio)
+    np.testing.assert_array_equal(s_spec, s_seq)
+    np.testing.assert_allclose(s_spec, a_spec.audio, atol=2e-5, rtol=0)
+
+    # force_miss floor: every draft rejected, one row per verify window —
+    # tokens still exactly equal (the guarantee the 2.09x orpheus default
+    # rests on, at 9 heads)
+    pcfg = runner.cfg
+    cache = jax.tree_util.tree_map(
+        lambda x: x * 0, P.init_kv_cache(pcfg))
+    ids = runner.tokenizer.tokenize("speculate me") + [runner.tokenizer.eos_token]
+    T = len(ids)
+    Tb = runner._prompt_bucket(T, P.PROMPT_BUCKETS)
+    toks = np.zeros(Tb, np.int32); toks[:T] = ids
+    cache = P.parler_prefill(runner.params, pcfg, jnp.asarray(toks),
+                             jnp.asarray(T, jnp.int32), cache, runner.cross_kv)
+    out0 = jnp.full((pcfg.max_generation_size + P.SPEC_K + 1,
+                     pcfg.n_output_heads), pcfg.eos_token_id, jnp.int32)
+    out, lstate, cache, _ = P.parler_decode_loop_spec_resume(
+        runner.params, pcfg, jnp.asarray(T, jnp.int32),
+        jnp.asarray(40, jnp.int32), cache, runner.cross_kv,
+        P.init_loop_state(pcfg), out0, max_steps=pcfg.max_generation_size,
+        k=P.SPEC_K, force_miss=True)
+    n = int(lstate[2])
+    assert n == a_seq.timings["decode_steps"]
+    # compare against a fresh sequential run's rows
+    cache2 = jax.tree_util.tree_map(lambda x: x * 0, P.init_kv_cache(pcfg))
+    cache2 = P.parler_prefill(runner.params, pcfg, jnp.asarray(toks),
+                              jnp.asarray(T, jnp.int32), cache2, runner.cross_kv)
+    out_seq, n_seq, *_ = P.parler_decode_loop(
+        runner.params, pcfg, jnp.asarray(T, jnp.int32),
+        jnp.asarray(40, jnp.int32), cache2, runner.cross_kv,
+        jax.random.PRNGKey(0), init_state(pcfg.n_output_heads),
+        P.init_loop_state(pcfg), max_steps=pcfg.max_generation_size,
+        do_sample=False)
+    np.testing.assert_array_equal(np.asarray(out)[:n],
+                                  np.asarray(out_seq)[:int(n_seq)])

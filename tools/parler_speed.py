@@ -13,10 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from tts_tpu.models.parler import (
-    ParlerConfig, init_kv_cache, init_loop_state, parler_decode_loop, parler_prefill,
-    precompute_cross_kv,
+    ParlerConfig, init_kv_cache, init_loop_state, parler_decode_loop,
+    parler_decode_loop_spec_resume, parler_prefill, precompute_cross_kv,
 )
 from tts_tpu.ops.sampling import init_state
+from tts_tpu.ops.spec import SPEC_K
 
 
 def main():
@@ -69,27 +70,43 @@ def main():
     jax.block_until_ready(cache)
     print(f"prefill compile+run: {time.time() - t0:.1f}s")
 
+    # MODE: seq (sampled, default) | seq_greedy | spec | spec_miss (the
+    # every-draft-rejected worst-case floor).  The spec modes are the
+    # VERDICT r4 item 5 A/B: greedy speculative 9-head decode vs the greedy
+    # sequential loop.  NOTE the random-weight greedy stream goes degenerate
+    # (repeats), so spec acceptance is flattering — record spec_miss as the
+    # honest floor, as with orpheus.
+    mode = os.environ.get("MODE", "seq")
     N = 200
-    t0 = time.time()
-    out, n, cache, s, _, _ = parler_decode_loop(
-        params, cfg, jnp.asarray(T, jnp.int32), jnp.asarray(N, jnp.int32),
-        cache, cross, jax.random.PRNGKey(0), init_state(9), init_loop_state(cfg),
-        max_steps=cfg.max_generation_size)
-    jax.block_until_ready(out)
-    print(f"decode compile+run ({int(n)} steps): {time.time() - t0:.1f}s")
 
-    cache = init_kv_cache(cfg)
-    cache = parler_prefill(params, cfg, tokens, jnp.asarray(T, jnp.int32),
-                           cache, cross)
-    t0 = time.time()
-    out, n, cache, s, _, _ = parler_decode_loop(
-        params, cfg, jnp.asarray(T, jnp.int32), jnp.asarray(N, jnp.int32),
-        cache, cross, jax.random.PRNGKey(1), init_state(9), init_loop_state(cfg),
-        max_steps=cfg.max_generation_size)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    print(f"decode warm: {int(n)} steps in {dt:.2f}s -> {int(n)/dt:.1f} steps/s "
-          f"({int(n)/dt/86.1:.2f}x real time)")
+    def run(seed):
+        cache = init_kv_cache(cfg)
+        cache = parler_prefill(params, cfg, tokens, jnp.asarray(T, jnp.int32),
+                               cache, cross)
+        t0 = time.time()
+        if mode in ("spec", "spec_miss"):
+            out0 = jnp.full((cfg.max_generation_size + SPEC_K + 1, 9),
+                            cfg.eos_token_id, jnp.int32)
+            out, lstate, cache, _ = parler_decode_loop_spec_resume(
+                params, cfg, jnp.asarray(T, jnp.int32),
+                jnp.asarray(N, jnp.int32), cache, cross, init_loop_state(cfg),
+                out0, max_steps=cfg.max_generation_size, k=SPEC_K,
+                force_miss=(mode == "spec_miss"))
+            n = lstate[2]
+        else:
+            out, n, cache, s, _, _ = parler_decode_loop(
+                params, cfg, jnp.asarray(T, jnp.int32), jnp.asarray(N, jnp.int32),
+                cache, cross, jax.random.PRNGKey(seed), init_state(9),
+                init_loop_state(cfg), max_steps=cfg.max_generation_size,
+                do_sample=(mode == "seq"))
+        jax.block_until_ready(out)
+        return int(n), time.time() - t0
+
+    n, dt = run(0)
+    print(f"[{mode}] decode compile+run ({n} steps): {dt:.1f}s")
+    n, dt = run(1)
+    print(f"[{mode}] decode warm: {n} steps in {dt:.2f}s -> {n/dt:.1f} steps/s "
+          f"({n/dt/86.1:.2f}x real time)")
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ from tts_tpu.codecs.dac import DACDecoder
 from tts_tpu.ops.qmatmul import apply_linear as _lin
 from tts_tpu.models.registry import register_loader
 from tts_tpu.ops.sampling import init_state, sample_tokens
+from tts_tpu.ops.spec import SPEC_K, spec_enabled as _spec_enabled
 from tts_tpu.runtime.api import GenerationConfig, TTSError, TTSResponse, TTSRunner
 
 
@@ -300,6 +301,75 @@ def _dia_step(params, cfg, audio_tokens, pos, cache, cross_kv):
     return merged, {"k": new_k, "v": new_v}
 
 
+def _dia_step_multi(params, cfg, in_mat, pos, cache, cross_kv):
+    """T-position variant of _dia_step for the speculative verify forward:
+    in_mat [T, 9] input token rows -> (merged CFG logits [T, 9, V], cache);
+    writes KV at pos..pos+T-1.  The math per position is the T=1 body's —
+    same einsum contractions over the same axes, batched over the new query
+    axis — so greedy argmaxes match the sequential step bit-for-bit (locked
+    by tests/test_dia.py)."""
+    dec = params["decoder"]
+    B = 2
+    T = in_mat.shape[0]
+    embds = jnp.stack(dec["embds"])
+    x = jnp.sum(embds[jnp.arange(cfg.n_output_heads)[None, :], in_mat],
+                axis=1)                                       # [T, hid]
+    x = jnp.broadcast_to(x[None], (B, T, x.shape[-1]))
+    positions = pos + jnp.arange(T)
+    Hq, Hkv, hs = cfg.decoder_attn_heads, cfg.kv_heads, cfg.head_size
+    group = Hq // Hkv
+    key_pos = jnp.arange(cfg.max_generation_size)
+    # [1, 1, 1, T, P] aligned to the "bhgqk" logits
+    self_mask = jnp.where(key_pos[None, :] <= positions[:, None],
+                          0.0, -1e9)[None, None, None, :, :]
+
+    new_k, new_v = cache["k"], cache["v"]
+    for l, L in enumerate(dec["layers"]):
+        res = x
+        h = _rms(x, L["sa_norm"])
+        q = _lin(h, L["sa_q"]).reshape(B, T, Hq, hs)
+        k = _lin(h, L["sa_k"]).reshape(B, T, Hkv, hs)
+        v = _lin(h, L["sa_v"]).reshape(B, T, Hkv, hs)
+        q = _rope(q, positions)
+        k = _rope(k, positions)
+        new_k = jax.lax.dynamic_update_slice(
+            new_k, k[None].astype(new_k.dtype), (l, 0, pos, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(
+            new_v, v[None].astype(new_v.dtype), (l, 0, pos, 0, 0))
+        qg = q.reshape(B, T, Hkv, group, hs)
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg,
+                            new_k[l].astype(jnp.float32)) + self_mask
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhgqk,bkhd->bqhgd", w,
+                          new_v[l].astype(jnp.float32)).reshape(B, T, Hq * hs)
+        x = res + _lin(attn, L["sa_o"])
+
+        res = x
+        h = _rms(x, L["ca_norm"])
+        q = _rope(_lin(h, L["ca_q"]).reshape(B, T, Hq, hs), positions)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q,
+                            cross_kv["k"][l].astype(jnp.float32))
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w,
+                          cross_kv["v"][l].astype(jnp.float32)).reshape(
+                              B, T, Hq * hs)
+        x = res + _lin(attn, L["ca_o"])
+
+        res = x
+        h = _rms(x, L["mlp_norm"])
+        x = res + _lin(jax.nn.silu(_lin(h, L["gate"])) * _lin(h, L["up"]),
+                       L["wo"])
+
+    x = _rms(x, dec["norm"])
+    heads = jnp.stack(dec["heads"])
+    logits = jnp.einsum("btd,hdv->bthv", x, heads)
+    cond_l, uncond_l = logits[0], logits[1]
+    merged = cond_l + cfg.cfg_scale * (cond_l - uncond_l)     # [T, 9, V]
+    ids = jnp.arange(cfg.output_vocab_size)
+    merged = jnp.where(ids[None, None, :] > cfg.eos_token_id, -jnp.inf, merged)
+    return merged, {"k": new_k, "v": new_v}
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def dia_step0_logits(params, cfg: DiaConfig, cache, cross_kv):
     """CFG-merged per-head logits of decode step 0 (all-BOS frame at position
@@ -371,6 +441,111 @@ def dia_decode_loop(params, cfg: DiaConfig, limit, budget, cache, cross_kv,
     step, pos, tokens, delay, cache, key, sstate, out = jax.lax.while_loop(
         cond, body, init)
     return out, step, cache, sstate, (tokens, delay, pos), key
+
+
+def _drain_step(cfg: DiaConfig, delays, head_idx, row, pos_after, dcur, limit):
+    """One step of the sequential body's next-input/drain evolution
+    (dia_decode_loop body, parity: check_stopping dia/model.cpp:806-823):
+    `row` is the step's sampled output, `pos_after` the position AFTER
+    emitting it, `dcur` the drain counter before.  Returns (next input row,
+    drain counter after)."""
+    nxt = jnp.where(pos_after > head_idx, row, cfg.bos_token_id).astype(jnp.int32)
+    trigger = (dcur == -1) & ((nxt[0] == cfg.eos_token_id)
+                              | (pos_after >= limit - cfg.max_delay))
+    dcur = jnp.where(trigger, cfg.max_delay, dcur)
+    step_after = cfg.max_delay - dcur
+    nxt = jnp.where(dcur > 0,
+                    jnp.where(step_after == delays, cfg.eos_token_id,
+                              jnp.where(step_after > delays, cfg.pad_token_id,
+                                        nxt)),
+                    nxt).astype(jnp.int32)
+    dcur = jnp.where(dcur > 0, dcur - 1, dcur)
+    return nxt, dcur
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "force_miss"),
+         donate_argnames=("cache", "out_init"))
+def dia_decode_loop_spec_resume(params, cfg: DiaConfig, limit, budget_end,
+                                cache, cross_kv, loop_state, out_init, *,
+                                k: int = 7, force_miss: bool = False):
+    """Resumable GREEDY speculative CFG decode (VERDICT r4 item 5): drafts k
+    step-rows by prompt lookup over the emitted rows, replays the sequential
+    loop's next-input/drain evolution along the draft path to build the k+1
+    verify inputs, runs ONE batch-2 CFG forward over them
+    (_dia_step_multi), and accepts the longest prefix where all 9 argmaxes
+    agree.  After the forward the TRUE evolution is recomputed from the
+    model's own outputs g (not the drafts), so the emitted rows, the drain
+    schedule, and the stop point are BIT-IDENTICAL to dia_decode_loop with
+    do_sample=False (locked by tests/test_dia.py).
+
+    `loop_state` is the sequential (tokens, delay, pos) carry; `out_init`
+    [max_generation_size + k + 1, 9] carries ALL emitted rows (global,
+    indexed by pos) so the drafter keeps history across streaming chunks;
+    `budget_end` is the GLOBAL pos bound for this dispatch; `limit` the
+    drain-triggering token cap, as in dia_decode_loop.
+    Returns (out, loop_state, cache)."""
+    from tts_tpu.ops.spec import ngram_draft_rows as _ngram_draft_rows
+
+    H = cfg.n_output_heads
+    delays = jnp.asarray(cfg.delay_pattern)
+    head_idx = jnp.arange(H)
+
+    def cond(state):
+        (tokens, delay, pos), cache, out = state
+        return (delay != 0) & (pos < budget_end)
+
+    def body(state):
+        (tokens, delay, pos), cache, out = state
+        if force_miss:
+            drafts = jnp.full((k, H), -1, jnp.int32)
+        else:
+            drafts = _ngram_draft_rows(out, pos, k)
+
+        # verify inputs: replay the drain evolution along the draft path
+        ins = [tokens]
+        dcur = delay
+        for j in range(1, k + 1):
+            nxt, dcur = _drain_step(cfg, delays, head_idx, drafts[j - 1],
+                                    pos + j, dcur, limit)
+            ins.append(nxt)
+        in_mat = jnp.stack(ins)                                 # [k+1, H]
+
+        merged, cache = _dia_step_multi(params, cfg, in_mat, pos, cache,
+                                        cross_kv)               # [k+1, H, V]
+        g = jnp.argmax(merged, axis=-1).astype(jnp.int32)
+
+        agree = jnp.cumprod(jnp.where(jnp.all(drafts == g[:-1], axis=1), 1, 0))
+        n_acc = jnp.sum(agree).astype(jnp.int32)
+
+        # true post-emission evolution from the model's own outputs
+        nxts, dafter = [], []
+        dcur = delay
+        for j in range(k + 1):
+            nxt, dcur = _drain_step(cfg, delays, head_idx, g[j],
+                                    pos + j + 1, dcur, limit)
+            nxts.append(nxt)
+            dafter.append(dcur)
+        nxt_mat = jnp.stack(nxts)                               # [k+1, H]
+        delay_vec = jnp.stack(dafter)                           # [k+1]
+
+        # the sequential cond stops AFTER the row that zeroes the drain
+        within = jnp.arange(k + 1, dtype=jnp.int32) <= n_acc
+        done_vec = delay_vec == 0
+        done_any = jnp.any(done_vec & within)
+        first_done = jnp.argmax(
+            jnp.where(within, done_vec, False)).astype(jnp.int32)
+        n_emit = jnp.where(done_any, first_done + 1, n_acc + 1)
+        n_emit = jnp.minimum(n_emit, budget_end - pos)
+
+        emit_buf = jnp.where(jnp.arange(k + 1)[:, None] < n_emit, g,
+                             cfg.pad_token_id)
+        out = jax.lax.dynamic_update_slice(out, emit_buf, (pos, 0))
+        idx = jnp.maximum(n_emit - 1, 0)
+        return ((nxt_mat[idx], delay_vec[idx], pos + n_emit), cache, out)
+
+    init = (loop_state, cache, out_init)
+    loop_state, cache, out = jax.lax.while_loop(cond, body, init)
+    return out, loop_state, cache
 
 
 def tokenize_dia_sentence(text: str, cfg: DiaConfig) -> list[int]:
@@ -453,19 +628,37 @@ class DiaRunner(TTSRunner):
         outputs = np.zeros((0, cfg.n_output_heads), np.int32)
         emitted = 0
         done = False
+        # greedy streaming rides the speculative loop chunk-by-chunk (the
+        # carried out-buffer keeps the drafter's history across chunks);
+        # emitted rows are bit-identical to the sequential loop AND to
+        # generate().  Sampled streaming stays sequential (PRNG contract).
+        spec = _spec_enabled(config)
+        out_buf = (jnp.full((cfg.max_generation_size + SPEC_K + 1,
+                             cfg.n_output_heads), cfg.pad_token_id, jnp.int32)
+                   if spec else None)
         while not done and len(outputs) < max_gen:
             budget = min(chunk_steps, cfg.max_generation_size - len(outputs))
-            out_tokens, n_steps, cache, sampler_state, loop_state, key = \
-                dia_decode_loop(
+            i_cum = len(outputs)
+            if spec:
+                out_buf, loop_state, cache = dia_decode_loop_spec_resume(
                     self.params, cfg, jnp.asarray(max_gen, jnp.int32),
-                    jnp.asarray(budget, jnp.int32), cache, cross, key,
-                    sampler_state, loop_state, temperature=config.temperature,
-                    top_k=config.top_k, top_p=config.top_p,
-                    repetition_penalty=config.repetition_penalty,
-                    do_sample=config.sample, use_top_p=config.top_p < 1.0)
-            n = int(n_steps)
+                    jnp.asarray(i_cum + budget, jnp.int32), cache, cross,
+                    loop_state, out_buf, k=SPEC_K)
+                n = int(loop_state[2]) - i_cum
+                out_tokens = np.asarray(out_buf)[i_cum:]
+            else:
+                out_tokens, n_steps, cache, sampler_state, loop_state, key = \
+                    dia_decode_loop(
+                        self.params, cfg, jnp.asarray(max_gen, jnp.int32),
+                        jnp.asarray(budget, jnp.int32), cache, cross, key,
+                        sampler_state, loop_state, temperature=config.temperature,
+                        top_k=config.top_k, top_p=config.top_p,
+                        repetition_penalty=config.repetition_penalty,
+                        do_sample=config.sample, use_top_p=config.top_p < 1.0)
+                n = int(n_steps)
+                out_tokens = np.asarray(out_tokens)
             done = int(loop_state[1]) == 0        # drain finished
-            outputs = np.concatenate([outputs, np.asarray(out_tokens)[:n]])
+            outputs = np.concatenate([outputs, out_tokens[:n]])
             frames = adjust_output_tokens(outputs, cfg)
             target = (len(frames) if done or len(outputs) >= max_gen
                       else len(frames) - self.dac.RECEPTIVE_FRAMES)
@@ -498,16 +691,27 @@ class DiaRunner(TTSRunner):
             trace["step0_logits"] = multihead_logit_stats(np.asarray(
                 dia_step0_logits(self.params, cfg, cache, cross), np.float32))
 
-        # one dispatch: CFG decode + delay-drain run on device
-        out_tokens, n_steps, cache, sampler_state, _, _ = dia_decode_loop(
-            self.params, cfg, jnp.asarray(max_gen, jnp.int32),
-            jnp.asarray(cfg.max_generation_size, jnp.int32), cache, cross,
-            key, sampler_state, dia_init_loop_state(cfg),
-            temperature=config.temperature,
-            top_k=config.top_k, top_p=config.top_p,
-            repetition_penalty=config.repetition_penalty,
-            do_sample=config.sample, use_top_p=config.top_p < 1.0)
-        n_steps = int(n_steps)
+        # one dispatch: CFG decode + delay-drain run on device; greedy calls
+        # take the speculative loop (bit-identical tokens, see
+        # dia_decode_loop_spec_resume)
+        if _spec_enabled(config):
+            out0 = jnp.full((cfg.max_generation_size + SPEC_K + 1,
+                             cfg.n_output_heads), cfg.pad_token_id, jnp.int32)
+            out_tokens, lstate, cache = dia_decode_loop_spec_resume(
+                self.params, cfg, jnp.asarray(max_gen, jnp.int32),
+                jnp.asarray(cfg.max_generation_size, jnp.int32), cache,
+                cross, dia_init_loop_state(cfg), out0, k=SPEC_K)
+            n_steps = int(lstate[2])
+        else:
+            out_tokens, n_steps, cache, sampler_state, _, _ = dia_decode_loop(
+                self.params, cfg, jnp.asarray(max_gen, jnp.int32),
+                jnp.asarray(cfg.max_generation_size, jnp.int32), cache, cross,
+                key, sampler_state, dia_init_loop_state(cfg),
+                temperature=config.temperature,
+                top_k=config.top_k, top_p=config.top_p,
+                repetition_penalty=config.repetition_penalty,
+                do_sample=config.sample, use_top_p=config.top_p < 1.0)
+            n_steps = int(n_steps)
         outputs = np.asarray(out_tokens)[:n_steps]
         self._cache = cache
         t_decode = time.perf_counter()

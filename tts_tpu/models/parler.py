@@ -28,6 +28,8 @@ from tts_tpu.codecs.dac import DACDecoder
 from tts_tpu.ops.qmatmul import apply_linear as _lin
 from tts_tpu.models.registry import register_loader
 from tts_tpu.ops.sampling import init_state, sample_tokens
+from tts_tpu.ops.spec import SPEC_K, ngram_draft_rows as _ngram_draft_rows, \
+    spec_enabled as _spec_enabled
 from tts_tpu.runtime.api import GenerationConfig, TTSResponse, TTSRunner
 from tts_tpu.text.tokenizers import UnigramTokenizer
 
@@ -350,6 +352,105 @@ def parler_decode_loop(params, cfg: ParlerConfig, start_pos, limit, cache,
     return out, step, cache, sstate, loop_state, key
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "k", "use_cross",
+                                   "force_miss"),
+         donate_argnames=("cache", "out_init"))
+def parler_decode_loop_spec_resume(params, cfg: ParlerConfig, start_pos, limit,
+                                   cache, cross_kv, loop_state, out_init, *,
+                                   max_steps: int, k: int = 7,
+                                   use_cross: bool = True,
+                                   force_miss: bool = False):
+    """Resumable GREEDY speculative 9-head decode (VERDICT r4 item 5; the
+    orpheus_decode_loop_spec_resume pattern at 9 heads per step).  Each
+    iteration drafts k step-rows by prompt lookup (_ngram_draft_rows), builds
+    the k+1 staircase INPUT rows the sequential loop would feed (BOS delays +
+    per-head EOS pinning evolved along the draft path), verifies all k+1
+    positions in ONE forward, and accepts the longest prefix where every one
+    of the 9 argmaxes agrees — emitted rows are the model's own greedy
+    outputs, so the result is BIT-IDENTICAL to parler_decode_loop with
+    do_sample=False (locked by tests/test_parler.py).
+
+    `loop_state` is the sequential loop's (tokens, eos_seen, gstep) carry;
+    `out_init` [max_steps + k + 1, 9] carries ALL previously emitted rows so
+    the drafter keeps its history across streaming chunks; `limit` is the
+    GLOBAL emission bound for this dispatch (i0 + chunk budget).  KV rows
+    written for rejected draft positions sit beyond the accepted position and
+    are overwritten next iteration before any causal query can read them.
+    Returns (out, loop_state, cache, pos)."""
+    H = cfg.n_output_heads
+    embds = jnp.stack(params["embds"])
+    heads = jnp.stack(params["heads"])
+    head_idx = jnp.arange(H)
+    hid = params["positional"].shape[1]
+
+    def cond(state):
+        pos, (tokens, eos_seen, gstep), cache, out = state
+        return (gstep < limit) & ~jnp.all(eos_seen)
+
+    def body(state):
+        pos, (tokens, eos_seen, gstep), cache, out = state
+        if force_miss:
+            # draft id -1 never equals an argmax (>= 0): every draft is
+            # rejected and each k+1-wide verify emits exactly one row — the
+            # worst-case floor for measurement
+            drafts = jnp.full((k, H), -1, jnp.int32)
+        else:
+            drafts = _ngram_draft_rows(out, gstep, k)
+
+        # staircase inputs for the k+1 verify positions: input j consumes
+        # draft row j-1 exactly as the sequential body's `nxt` would
+        ins = [tokens]
+        eos = eos_seen
+        for j in range(1, k + 1):
+            d = drafts[j - 1]
+            eos = eos | (d == cfg.eos_token_id)
+            ins.append(jnp.where(gstep + j > head_idx,
+                                 jnp.where(eos, cfg.eos_token_id, d),
+                                 cfg.bos_token_id).astype(jnp.int32))
+        in_mat = jnp.stack(ins)                                   # [k+1, H]
+
+        x = jnp.sum(embds[head_idx[None, :], in_mat], axis=1)    # [k+1, hid]
+        x = x + jax.lax.dynamic_slice(params["positional"], (pos, 0),
+                                      (k + 1, hid))
+        x, cache = _transformer(params, cfg, x, cache, pos,
+                                pos + jnp.arange(k + 1),
+                                cross_kv if use_cross else None)
+        logits = jnp.einsum("td,hdv->thv", x, heads)              # [k+1, H, V]
+        g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+        # accept the prefix where ALL 9 heads agree with the draft
+        agree = jnp.cumprod(jnp.where(jnp.all(drafts == g[:-1], axis=1), 1, 0))
+        n_acc = jnp.sum(agree).astype(jnp.int32)                  # 0..k
+
+        # per-head EOS evolution over the would-be-emitted rows; the
+        # sequential loop emits the row in which the LAST head EOSes, then
+        # its cond stops — truncate the emission the same way
+        eos_after = eos_seen[None, :] | (jnp.cumsum(
+            g == cfg.eos_token_id, axis=0) > 0)                   # [k+1, H]
+        all_done = jnp.all(eos_after, axis=1)                     # [k+1]
+        within = jnp.arange(k + 1, dtype=jnp.int32) <= n_acc
+        done_any = jnp.any(all_done & within)
+        first_done = jnp.argmax(
+            jnp.where(within, all_done, False)).astype(jnp.int32)
+        n_emit = jnp.where(done_any, first_done + 1, n_acc + 1)
+        n_emit = jnp.minimum(n_emit, limit - gstep)               # budget
+
+        emit_buf = jnp.where(jnp.arange(k + 1)[:, None] < n_emit, g,
+                             cfg.eos_token_id)
+        out = jax.lax.dynamic_update_slice(out, emit_buf, (gstep, 0))
+        idx_last = jnp.maximum(n_emit - 1, 0)
+        eos_new = eos_after[idx_last]
+        gstep_new = gstep + n_emit
+        nxt = jnp.where(gstep_new > head_idx,
+                        jnp.where(eos_new, cfg.eos_token_id, g[idx_last]),
+                        cfg.bos_token_id).astype(jnp.int32)
+        return (pos + n_emit, (nxt, eos_new, gstep_new), cache, out)
+
+    init = (start_pos, loop_state, cache, out_init)
+    pos, loop_state, cache, out = jax.lax.while_loop(cond, body, init)
+    return out, loop_state, cache, pos
+
+
 def adjust_output_tokens(output: np.ndarray, cfg: ParlerConfig) -> np.ndarray:
     """Delay un-weave + invalid-token filter (parity: model.cpp:734-760).
     output [steps, 9] -> [frames, 9] with frame i head ii = output[i+ii, ii]."""
@@ -408,7 +509,7 @@ class ParlerRunner(TTSRunner):
         cfg = self.cfg
         ids = self.tokenizer.tokenize(text) + [self.tokenizer.eos_token]
         T = len(ids)
-        Tb = next((b for b in PROMPT_BUCKETS if T <= b), PROMPT_BUCKETS[-1])
+        Tb = self._prompt_bucket(T, PROMPT_BUCKETS)
         tokens = np.zeros(Tb, np.int32)
         tokens[:T] = ids
 
@@ -441,20 +542,41 @@ class ParlerRunner(TTSRunner):
         outputs = np.zeros((0, cfg.n_output_heads), np.int32)
         emitted = 0
         done = False
+        # greedy streaming rides the speculative loop chunk-by-chunk (the
+        # carried out-buffer keeps the drafter's history across chunks);
+        # emitted rows are bit-identical to the sequential loop AND to
+        # generate().  Sampled streaming stays sequential (PRNG-consumption
+        # contract, as in orpheus).
+        spec = _spec_enabled(config)
+        out_buf = (jnp.full((cfg.max_generation_size + SPEC_K + 1,
+                             cfg.n_output_heads), cfg.eos_token_id, jnp.int32)
+                   if spec else None)
         while not done and len(outputs) < max_steps:
             budget = min(chunk_steps, max_steps - len(outputs))
-            out_tokens, n_steps, cache, sampler_state, loop_state, key = \
-                parler_decode_loop(
-                    self.params, cfg, jnp.asarray(T + len(outputs), jnp.int32),
-                    jnp.asarray(budget, jnp.int32), cache, self.cross_kv, key,
-                    sampler_state, loop_state, max_steps=cfg.max_generation_size,
-                    use_cross=use_cross, temperature=config.temperature,
-                    top_k=config.top_k, top_p=config.top_p,
-                    repetition_penalty=config.repetition_penalty,
-                    do_sample=config.sample, use_top_p=config.top_p < 1.0)
-            n = int(n_steps)
+            i_cum = len(outputs)
+            if spec:
+                out_buf, loop_state, cache, _ = parler_decode_loop_spec_resume(
+                    self.params, cfg, jnp.asarray(T + i_cum, jnp.int32),
+                    jnp.asarray(i_cum + budget, jnp.int32), cache,
+                    self.cross_kv, loop_state, out_buf,
+                    max_steps=cfg.max_generation_size, k=SPEC_K,
+                    use_cross=use_cross)
+                n = int(loop_state[2]) - i_cum
+                out_tokens = np.asarray(out_buf)[i_cum:]
+            else:
+                out_tokens, n_steps, cache, sampler_state, loop_state, key = \
+                    parler_decode_loop(
+                        self.params, cfg, jnp.asarray(T + i_cum, jnp.int32),
+                        jnp.asarray(budget, jnp.int32), cache, self.cross_kv, key,
+                        sampler_state, loop_state, max_steps=cfg.max_generation_size,
+                        use_cross=use_cross, temperature=config.temperature,
+                        top_k=config.top_k, top_p=config.top_p,
+                        repetition_penalty=config.repetition_penalty,
+                        do_sample=config.sample, use_top_p=config.top_p < 1.0)
+                n = int(n_steps)
+                out_tokens = np.asarray(out_tokens)
             done = n < budget                     # all heads hit EOS
-            outputs = np.concatenate([outputs, np.asarray(out_tokens)[:n]])
+            outputs = np.concatenate([outputs, out_tokens[:n]])
             frames = adjust_output_tokens(outputs, cfg)
             target = (len(frames) if done or len(outputs) >= max_steps
                       else len(frames) - self.dac.RECEPTIVE_FRAMES)
@@ -488,16 +610,29 @@ class ParlerRunner(TTSRunner):
                                     cache, self.cross_kv, use_cross=use_cross),
                 np.float32))
 
-        # one dispatch: the whole AR loop runs on device
-        out_tokens, n_steps, cache, sampler_state, _, _ = parler_decode_loop(
-            self.params, cfg, jnp.asarray(T, jnp.int32),
-            jnp.asarray(max_steps, jnp.int32), cache, self.cross_kv, key,
-            sampler_state, init_loop_state(cfg), max_steps=cfg.max_generation_size,
-            use_cross=use_cross, temperature=config.temperature,
-            top_k=config.top_k, top_p=config.top_p,
-            repetition_penalty=config.repetition_penalty,
-            do_sample=config.sample, use_top_p=config.top_p < 1.0)
-        n_steps = int(n_steps)
+        # one dispatch: the whole AR loop runs on device; greedy calls take
+        # the speculative loop (bit-identical tokens, see
+        # parler_decode_loop_spec_resume)
+        if _spec_enabled(config):
+            out0 = jnp.full((cfg.max_generation_size + SPEC_K + 1,
+                             cfg.n_output_heads), cfg.eos_token_id, jnp.int32)
+            out_tokens, loop_state, cache, _ = parler_decode_loop_spec_resume(
+                self.params, cfg, jnp.asarray(T, jnp.int32),
+                jnp.asarray(max_steps, jnp.int32), cache, self.cross_kv,
+                init_loop_state(cfg), out0,
+                max_steps=cfg.max_generation_size, k=SPEC_K,
+                use_cross=use_cross)
+            n_steps = int(loop_state[2])
+        else:
+            out_tokens, n_steps, cache, sampler_state, _, _ = parler_decode_loop(
+                self.params, cfg, jnp.asarray(T, jnp.int32),
+                jnp.asarray(max_steps, jnp.int32), cache, self.cross_kv, key,
+                sampler_state, init_loop_state(cfg), max_steps=cfg.max_generation_size,
+                use_cross=use_cross, temperature=config.temperature,
+                top_k=config.top_k, top_p=config.top_p,
+                repetition_penalty=config.repetition_penalty,
+                do_sample=config.sample, use_top_p=config.top_p < 1.0)
+            n_steps = int(n_steps)
         outputs = np.asarray(out_tokens)[:n_steps]
 
         self._cache = cache
