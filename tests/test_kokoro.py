@@ -94,9 +94,8 @@ def test_packed_protocol_matches_explicit_args(tiny_runner):
     arr[:T] = token_ids
     arr[-2] = T
     arr[-1] = seed
-    p = model._flat_params() if model.use_flat_params else model.params
     packed = np.asarray(model._fused_packed(F)(
-        p, model._voice_pack("af_heart"), jnp.asarray(arr),
+        model.params, model._voice_pack("af_heart"), jnp.asarray(arr),
         model.window))
     np.testing.assert_array_equal(explicit, packed)
 
@@ -272,23 +271,13 @@ def test_transfer_bits_12_optin(tmp_path_factory):
     np.testing.assert_allclose(a12, a16, atol=peak * (1 / 2047 + 1 / 32767))
 
 
-def test_flat_params_optin_bit_identical(tmp_path_factory):
-    """The opt-in single-flat-buffer weight upload reconstructs the exact
-    pytree in-graph: audio is BIT-identical to the per-leaf default."""
-    from tts_tpu.models import kokoro as K
-
-    path = tmp_path_factory.mktemp("kokorofp") / "tinyfp.gguf"
-    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
-    tokens = [0, 1, 2, 3, 16, 4, 5, 0]
-
-    a_tree = runner_from_file(str(path)).model.synthesize(tokens, "af_heart",
-                                                          seed=5)
-    orig = K.FLAT_PARAMS
-    K.FLAT_PARAMS = True
-    try:
-        m_flat = runner_from_file(str(path)).model
-    finally:
-        K.FLAT_PARAMS = orig
-    assert m_flat.use_flat_params
-    a_flat = m_flat.synthesize(tokens, "af_heart", seed=5)
-    np.testing.assert_array_equal(a_tree, a_flat)
+def test_synthesize_records_leg_split(tiny_runner):
+    """Each synthesize call records a host/dispatch leg split for outlier
+    attribution (VERDICT r4 item 3)."""
+    model = tiny_runner.model
+    a = model.synthesize([0, 1, 2, 3, 16, 4, 5, 0], "af_heart", seed=5)
+    legs = model.last_legs
+    assert legs["dispatch_d2h_ms"] > 0 and legs["payload_kb"] > 0
+    assert legs["host_pre_ms"] >= 0 and legs["unpack_ms"] >= 0
+    assert legs["F"] >= 1 and legs["redispatched"] in (False, True)
+    assert len(a) > 0

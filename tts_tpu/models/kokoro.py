@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -493,11 +494,14 @@ def _device_window_sq_sum(window, n_fft: int, hop: int, S: int, n_frames_out):
 # bandwidth-starved links.
 TRANSFER_BITS = int(os.environ.get("TTS_TPU_TRANSFER_BITS", "16"))
 
-# Ship the weights to the fused dispatch as ONE flat f32 buffer instead of
-# ~590 pytree leaves (the axon execute RPC serializes a handle per leaf —
-# ~3 ms p50 wall, tools/rpc_legs_probe.py).  Opt-in until the on-TPU A/B
-# confirms the slice+reshape reconstruction doesn't cost device time.
-FLAT_PARAMS = os.environ.get("TTS_TPU_FLAT_PARAMS", "0") == "1"
+# FLAT_PARAMS (ship weights as ONE flat f32 buffer instead of ~590 pytree
+# leaves) was DELETED in round 5 (measured -> deleted): its premise — a
+# per-leaf RPC cost, estimated ~3 ms by tools/rpc_legs_probe.py — was
+# contradicted by tools/arg_count_probe.py (755 args == 1 arg), and the
+# on-TPU interleaved A/B (tools/README.md "kokoro_flat_ab") measured the
+# flat path at p50 96.2 ms vs 44.3 ms for the plain pytree: the in-graph
+# slice+reshape reconstruction costs far more device time than the
+# nonexistent per-leaf dispatch cost it saved.
 
 
 @partial(jax.jit, static_argnames=("cfg", "F", "bits"))
@@ -707,17 +711,16 @@ def pick_bucket(n: int, buckets) -> int:
 class KokoroModel:
     """Device-facing model state: config + params + jit caches."""
 
-    device_arrays = ("params", "window", "_voice_packs_dev", "_flat")
+    device_arrays = ("params", "window", "_voice_packs_dev")
 
     def __init__(self, cfg: KokoroConfig, params: dict):
         self.cfg = cfg
         self.params = params
         self.window = jnp.asarray(hann_window(cfg.n_fft))
-        # snapshot the transfer/upload policy flags at construction: the
-        # traced graphs bake them in, so mutating the module globals after
-        # build must not desynchronize trace-time packing from host unpack
+        # snapshot the transfer policy flag at construction: the traced
+        # graphs bake it in, so mutating the module global after build must
+        # not desynchronize trace-time packing from host unpack
         self.transfer_bits = TRANSFER_BITS
-        self.use_flat_params = FLAT_PARAMS
         # running frames-per-token estimate for the fused-dispatch bucket
         # prediction, PER VOICE (speaking rate is a voice property; a shared
         # scalar cross-pollutes predictions and pays re-dispatches until the
@@ -738,8 +741,9 @@ class KokoroModel:
         self._fused_packed_jits: dict = {}
         self._aot_keys: dict = {}           # (F, Tb) -> AOT cache key
         self._voice_packs_dev: dict = {}
-        self._flat = None                   # see _flat_params
-        self._flat_spec = None
+        # diagnostics: leg split of the most recent synthesize call (last-
+        # writer-wins under the server's worker threads — attribution only)
+        self.last_legs: dict = {}
 
     def _fused(self, F: int):
         """Per-bucket jit of the fused graph with statics closed over, so the
@@ -762,38 +766,6 @@ class KokoroModel:
     # subtrees the fused graph actually reads ("voices" is host/pack-side)
     _GRAPH_KEYS = ("albert", "dp", "decoder", "text_encoder")
 
-    def _flat_params(self):
-        """ONE f32 device buffer holding every graph weight, plus the spec to
-        rebuild the pytree inside the trace.  The axon execute RPC serializes
-        a buffer handle per argument leaf — ~590 of them measured ~3 ms p50
-        wall over the tunnel vs one flat buffer (tools/rpc_legs_probe.py);
-        slicing the weights back out inside the graph is static-offset
-        slice+reshape that XLA folds into layout reads."""
-        if self._flat is None:
-            sub = {k: self.params[k] for k in self._GRAPH_KEYS}
-            leaves, treedef = jax.tree_util.tree_flatten(sub)
-            bad = {str(l.dtype) for l in leaves if l.dtype != jnp.float32}
-            if bad:  # the f32 concat would silently change numerics
-                raise TTSError(
-                    f"FLAT_PARAMS requires all-f32 graph weights, found {bad}")
-            offs, shapes, off = [], [], 0
-            for leaf in leaves:
-                offs.append(off)
-                shapes.append(tuple(leaf.shape))
-                off += int(leaf.size)
-            self._flat = jnp.concatenate(
-                [jnp.ravel(leaf).astype(jnp.float32) for leaf in leaves])
-            self._flat_spec = (treedef, tuple(offs), tuple(shapes))
-        return self._flat
-
-    def _unflatten_graph_params(self, flat):
-        treedef, offs, shapes = self._flat_spec
-        leaves = [
-            flat[o : o + int(np.prod(s, dtype=np.int64))].reshape(s)
-            for o, s in zip(offs, shapes)
-        ]
-        return jax.tree_util.tree_unflatten(treedef, leaves)
-
     def _fused_packed(self, F: int):
         """_fused with the HOST PROTOCOL folded into the graph: ONE int32
         upload `arr = tokens_padded | T | seed` replaces the five per-call
@@ -803,8 +775,7 @@ class KokoroModel:
         (traced seed) are derived on device — token-rate ops, free next to
         the generation body — and the voice pack lives on device.  Under the
         axon tunnel every distinct transfer pays the per-dispatch latency
-        floor (CLAUDE.md), so argument count is wall time.  With FLAT_PARAMS
-        the weights ride as ONE flat buffer (see _flat_params)."""
+        floor (CLAUDE.md), so argument count is wall time."""
         fn = self._fused_packed_jits.get(F)
         if fn is None:
             self._bucket_events.append(F)
@@ -823,17 +794,7 @@ class KokoroModel:
                 return body(params, cfg, F, tokens, mask, row[:half],
                             row[half : 2 * half], key, window, bits)
 
-            if self.use_flat_params:
-                self._flat_params()        # build the spec before tracing
-
-                @jax.jit
-                def fused(flat, pack, arr, window):
-                    return protocol(self._unflatten_graph_params(flat),
-                                    pack, arr, window)
-            else:
-                fused = jax.jit(protocol)
-
-            self._fused_packed_jits[F] = fn = fused
+            self._fused_packed_jits[F] = fn = jax.jit(protocol)
         return fn
 
     def freeze_buckets(self) -> tuple:
@@ -921,7 +882,14 @@ class KokoroModel:
     def synthesize(self, token_ids: list[int], voice: str, seed: int = 0):
         """One chunk -> float32 PCM, in ONE device dispatch when the
         frame-bucket prediction holds (kokoro_fused_forward), falling back to
-        a second dispatch at the correct bucket when it doesn't."""
+        a second dispatch at the correct bucket when it doesn't.
+
+        Leg attribution (VERDICT r4 item 3): each call records
+        `self.last_legs` = {host_pre_ms, dispatch_d2h_ms, unpack_ms,
+        redispatched, F, payload_kb} — three perf_counter reads, no extra
+        device work — so an outlier wall can be attributed to the host path
+        vs the fused dispatch+D2H leg (which contains the tunnel floor)."""
+        t_enter = time.perf_counter()
         cfg = self.cfg
         T = len(token_ids)
         Tb = pick_bucket(T, TOKEN_BUCKETS)
@@ -947,19 +915,24 @@ class KokoroModel:
             # whole params pytree, ~2 ms of host time per call (measured)
             from tts_tpu.runtime import aot
             fn = self._fused_packed(F)
-            p = self._flat_params() if self.use_flat_params else self.params
             # `arr` rides as a plain numpy array: an explicit jnp.asarray is
             # a separate transfer RPC over the tunnel (~1 ms p50 measured,
             # tools/kokoro_micro_ab.py); inline in the execute call it's free
-            args = (p, pack, arr, self.window)
-            static = (f"F={F}|tb={self.transfer_bits}"
-                      f"|fp={int(self.use_flat_params)}|{cfg!r}")
+            args = (self.params, pack, arr, self.window)
+            # "fp=0" is the deleted FLAT_PARAMS flag's default, kept verbatim
+            # so existing AOT-export artifacts stay valid (the graph itself
+            # is unchanged by the deletion)
+            static = f"F={F}|tb={self.transfer_bits}|fp=0|{cfg!r}"
             key = self._aot_keys.get((F, Tb))
             if key is None:
                 key = aot.make_key("kokoro_fused_packed", static, args)
                 self._aot_keys[(F, Tb)] = key
+            t_disp = time.perf_counter()
             packed = np.asarray(aot.call_cached(
                 "kokoro_fused_packed", static, fn, *args, key=key))
+            legs["dispatch_d2h_ms"] += (time.perf_counter() - t_disp) * 1e3
+            legs["payload_kb"] = packed.nbytes / 1024.0
+            legs["F"] = F
             if self.transfer_bits == 12:
                 # uint8[S*3/2 + 8]: 12-bit packed pairs, then int32 total +
                 # f32 peak bitcast into the 8-byte tail
@@ -978,8 +951,12 @@ class KokoroModel:
             peak = float(packed[-2:].copy().view(np.float32)[0])
             return packed[:-4], total, peak, 32767.0
 
+        legs = {"dispatch_d2h_ms": 0.0, "redispatched": False}
         pcm, total, peak, denom = run(F)
+        legs["host_pre_ms"] = ((time.perf_counter() - t_enter) * 1e3
+                               - legs["dispatch_d2h_ms"])
         if total <= 0:
+            self.last_legs = legs
             return np.zeros(0, np.float32)
         prev = self._frames_per_token.get(voice)
         self._frames_per_token[voice] = (
@@ -987,6 +964,7 @@ class KokoroModel:
             else 0.7 * prev + 0.3 * (total / T))
         if total > F:
             # prediction too small: re-dispatch at the right bucket (rare)
+            legs["redispatched"] = True
             F = self._pick_frame_bucket(total)
             pcm, total, peak, denom = run(F)
         # audio + total + peak arrive in ONE int16 transfer, unpacked
@@ -998,5 +976,9 @@ class KokoroModel:
                 "kokoro: predicted %d frames exceeds the largest bucket (%d); "
                 "audio truncated — split the input text into shorter chunks",
                 total, F)
+        t_unpack = time.perf_counter()
         n = min(total, F) * cfg.up_sampling_factor
-        return pcm[:n].astype(np.float32) * (peak / denom)
+        out = pcm[:n].astype(np.float32) * (peak / denom)
+        legs["unpack_ms"] = (time.perf_counter() - t_unpack) * 1e3
+        self.last_legs = legs
+        return out
