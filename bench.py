@@ -61,6 +61,51 @@ def pallas_qmatmul_smoke():
     print(f"pallas qmatmul smoke OK (rel err {err:.2e})", file=sys.stderr)
 
 
+def measure_floor(reps: int = 15):
+    """Tunnel floor: wall of a tiny no-op jit + D2H round trip.  Recording it
+    IN the bench artifact makes cross-round regressions attributable to the
+    environment vs the code (VERDICT r4 item 1a: the r3->r4 headline move was
+    un-attributable because no session floor was recorded)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    np.asarray(f(x))                       # compile + first call
+    ws = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ws.append((time.perf_counter() - t0) * 1e3)
+    ws.sort()
+    return ws
+
+
+def measure_d2h_anchor(reps: int = 10):
+    """Wall of a fixed 230.4 KB D2H round trip (the F=192 packed-payload
+    size): anchor - floor = the marginal D2H cost of a typical utterance's
+    payload on this session's tunnel."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    g = jax.jit(lambda a: jnp.broadcast_to(a, (115204,)))
+    z = jnp.zeros((1,), jnp.int16)
+    np.asarray(g(z))
+    ws = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(g(z))
+        ws.append((time.perf_counter() - t0) * 1e3)
+    ws.sort()
+    return ws
+
+
 def main():
     import jax
     import numpy as np
@@ -111,6 +156,15 @@ def main():
     warm_events = len(runner.model.bucket_events())
     print(f"pinned frame buckets: {pinned}", file=sys.stderr)
 
+    # session attribution legs (VERDICT r4 item 1a): the tunnel floor and a
+    # fixed-size D2H anchor, measured before AND after the battery
+    floor_pre = measure_floor()
+    anchor_pre = measure_d2h_anchor()
+    print(f"tunnel floor (pre): p50 {floor_pre[len(floor_pre) // 2]:.1f} ms "
+          f"min {floor_pre[0]:.1f} max {floor_pre[-1]:.1f}; "
+          f"D2H anchor 230.4 KB: p50 {anchor_pre[len(anchor_pre) // 2]:.1f} ms",
+          file=sys.stderr)
+
     # two passes over the battery; per-sentence RTFs pooled and the MEDIAN
     # reported — the host<->TPU tunnel adds 25-100 ms of jitter per dispatch
     # that a mean would let a single bad RPC dominate
@@ -118,6 +172,7 @@ def main():
     walls_ms = []
     audio_s = 0.0
     ttfas = []
+    legs_hist = []
     for p in range(2):
         for s in SENTENCES:
             t0 = time.perf_counter()
@@ -125,6 +180,27 @@ def main():
             dt = time.perf_counter() - t0
             per_sentence_rtf.append(dt / max(resp.duration_s, 1e-9))
             walls_ms.append(dt * 1e3)
+            legs_hist.append(dict(getattr(runner.model, "last_legs", {})))
+            # outlier attribution (VERDICT r4 item 3): name the leg when a
+            # call exceeds 1.5x the running median — the synthesize leg split
+            # says host vs dispatch+D2H, and an immediate floor re-probe says
+            # whether the tunnel itself was elevated at that moment
+            med = sorted(walls_ms)[len(walls_ms) // 2]
+            if len(walls_ms) >= 5 and dt * 1e3 > 1.5 * med:
+                legs = getattr(runner.model, "last_legs", {})
+                probe = measure_floor(reps=3)
+                base = floor_pre[len(floor_pre) // 2]
+                if legs.get("redispatched"):
+                    leg = "redispatch (frame-bucket prediction miss)"
+                elif probe[1] > 1.4 * base:
+                    leg = (f"tunnel floor elevated ({probe[1]:.1f} ms probe "
+                           f"vs {base:.1f} ms baseline)")
+                elif legs.get("dispatch_d2h_ms", 0.0) > 0.8 * dt * 1e3:
+                    leg = "dispatch+D2H leg (tunnel jitter, probe normal)"
+                else:
+                    leg = "host path"
+                print(f"  OUTLIER {dt * 1e3:7.1f} ms (median {med:.1f}): {leg}"
+                      f" — legs {legs}", file=sys.stderr)
             if p == 0:
                 audio_s += resp.duration_s
                 chars_per_s = len(s) / max(resp.duration_s, 1e-9)
@@ -162,6 +238,29 @@ def main():
           f"{tp_audio:.1f}s audio -> RTF {tp_wall / tp_audio:.5f}",
           file=sys.stderr)
 
+    floor_post = measure_floor()
+    floors = sorted(floor_pre + floor_post)
+    anchors = anchor_pre
+    floor_p50 = floors[len(floors) // 2]
+    anchor_p50 = anchors[len(anchors) // 2]
+    d2h_marginal = max(anchor_p50 - floor_p50, 0.0)
+    med_wall = sorted(walls_ms)[len(walls_ms) // 2]
+    print(f"tunnel floor (post): p50 {floor_post[len(floor_post) // 2]:.1f} ms; "
+          f"combined p50 {floor_p50:.1f} / p95 "
+          f"{floors[min(len(floors) - 1, int(len(floors) * 0.95))]:.1f} ms",
+          file=sys.stderr)
+    print(f"leg budget: median wall {med_wall:.1f} ms = floor {floor_p50:.1f} "
+          f"+ D2H-marginal {d2h_marginal:.1f} + device+host residue "
+          f"{med_wall - floor_p50 - d2h_marginal:.1f} ms", file=sys.stderr)
+    if legs_hist:
+        med = lambda k: sorted(l.get(k, 0.0) for l in legs_hist)[len(legs_hist) // 2]
+        print(f"synthesize legs (medians): host_pre {med('host_pre_ms'):.2f} ms, "
+              f"dispatch+D2H {med('dispatch_d2h_ms'):.2f} ms, "
+              f"unpack {med('unpack_ms'):.2f} ms, "
+              f"payload {med('payload_kb'):.0f} KB, "
+              f"redispatches {sum(1 for l in legs_hist if l.get('redispatched'))}"
+              f"/{len(legs_hist)}", file=sys.stderr)
+
     if ttfas:
         p50 = sorted(ttfas)[len(ttfas) // 2]
         print(f"p50 time-to-first-audio: {p50:.1f} ms "
@@ -182,6 +281,15 @@ def main():
         "p95_rtf": round(p95_rtf, 6),
         "max_wall_ms": round(max(walls_ms), 1),
         "cold_buckets": len(cold),
+        # session attribution (VERDICT r4 item 1a): the tunnel's no-op
+        # round-trip floor and the marginal cost of a fixed 230.4 KB D2H,
+        # measured in THIS session — a cross-round headline move larger than
+        # the floor move is code; within it, environment
+        "floor_ms": round(floor_p50, 2),
+        "floor_p95_ms": round(
+            floors[min(len(floors) - 1, int(len(floors) * 0.95))], 2),
+        "d2h_anchor_ms": round(anchor_p50, 2),
+        "median_wall_ms": round(med_wall, 1),
     }
     if ttfas:
         out["p50_ttfa_ms"] = round(sorted(ttfas)[len(ttfas) // 2], 1)
