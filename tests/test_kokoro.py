@@ -281,3 +281,40 @@ def test_synthesize_records_leg_split(tiny_runner):
     assert legs["host_pre_ms"] >= 0 and legs["unpack_ms"] >= 0
     assert legs["F"] >= 1 and legs["redispatched"] in (False, True)
     assert len(a) > 0
+
+
+def test_frozen_token_buckets_pin_serving_path(tmp_path_factory):
+    """freeze_buckets() also pins TOKEN buckets: a post-freeze prompt whose
+    natural Tb is smaller than a warmed one rounds up (no new trace), with
+    audio equal up to cross-bucket reduction-order noise (padding is
+    masked)."""
+    from tts_tpu.models import kokoro as K
+
+    path = tmp_path_factory.mktemp("kokorotb") / "tinytb.gguf"
+    write_kokoro_gguf(path, KokoroDims.tiny(), seed=0)
+    model = runner_from_file(str(path)).model
+    long_tokens = list(range(2, 2 + 70))            # Tb = 128
+    short_tokens = [0, 1, 2, 3, 16, 4, 5, 0]        # natural Tb = 64
+    model.synthesize(long_tokens, "af_heart", seed=1)
+    model.freeze_buckets()
+    assert model._pinned_tbuckets == (128,)
+
+    a = model.synthesize(short_tokens, "af_heart", seed=1)
+    assert not [e for e in model.bucket_events() if isinstance(e, tuple)], \
+        "short prompt traced a new token bucket despite freeze"
+
+    m2 = runner_from_file(str(path)).model          # unpinned: natural Tb
+    b = m2.synthesize(short_tokens, "af_heart", seed=1)
+    # cross-bucket tolerance (as in test_bucket_invariance): reductions over
+    # a different padded size reorder accumulation, and the peak-relative
+    # transfer quantization can add one step on top
+    assert a.shape == b.shape
+    step = 2047.0 if K.TRANSFER_BITS == 12 else 32767.0
+    peak = float(np.abs(a).max()) + 1e-9
+    # 5e-3 as in test_frozen_buckets_pin_serving_path: the token-rate stages
+    # (ALBERT, duration LSTMs, text encoder) all reduce over the padded Tb
+    np.testing.assert_allclose(a, b, atol=5e-3 + peak / step)
+
+    # beyond the pinned max falls back to the full ladder and records it
+    model.synthesize(list(range(2, 2 + 140)), "af_heart", seed=1)  # Tb = 256
+    assert ("Tb", 256) in model.bucket_events()

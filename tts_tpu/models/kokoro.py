@@ -736,6 +736,8 @@ class KokoroModel:
         # first-use of a frame bucket in this process (bench warm-coverage
         # accounting).
         self._pinned_fbuckets: tuple | None = None
+        self._pinned_tbuckets: tuple | None = None
+        self._seen_tbuckets: set = set()
         self._bucket_events: list = []
         self._fused_jits: dict = {}
         self._fused_packed_jits: dict = {}
@@ -804,8 +806,16 @@ class KokoroModel:
         compiling a new one mid-serving; only a prediction LARGER than every
         pinned bucket falls back to the full ladder (and logs a bucket event).
         Returns the pinned set.  Call after warmup; call again after warming
-        more buckets to extend the set."""
+        more buckets to extend the set.
+
+        Token buckets are pinned too: a jitted fused graph retraces (and
+        compiles) for each NEW arr shape, so a first post-warmup prompt
+        longer than every warmed token bucket would otherwise be the same
+        tail class at the Tb axis; after the freeze, prompt padding rounds
+        up within the warmed Tbs (masked — identical output) and only a
+        prompt beyond the largest falls back to the full ladder."""
         self._pinned_fbuckets = tuple(sorted(self._fused_packed_jits))
+        self._pinned_tbuckets = tuple(sorted(self._seen_tbuckets))
         return self._pinned_fbuckets
 
     def seed_frame_rate(self, voice: str, frames_per_token: float) -> None:
@@ -892,7 +902,14 @@ class KokoroModel:
         t_enter = time.perf_counter()
         cfg = self.cfg
         T = len(token_ids)
-        Tb = pick_bucket(T, TOKEN_BUCKETS)
+        if self._pinned_tbuckets and T <= self._pinned_tbuckets[-1]:
+            Tb = pick_bucket(T, self._pinned_tbuckets)
+        else:
+            Tb = pick_bucket(T, TOKEN_BUCKETS)
+        if Tb not in self._seen_tbuckets:
+            self._seen_tbuckets.add(Tb)
+            if self._pinned_tbuckets is not None:   # post-freeze cold trace
+                self._bucket_events.append(("Tb", Tb))
         # ONE host->device upload: tokens | T | seed (mask, style row and
         # PRNG key are derived in-graph, see _fused_packed)
         arr = np.zeros(Tb + 2, np.int32)
