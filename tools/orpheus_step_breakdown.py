@@ -72,8 +72,12 @@ from tts_tpu.models.orpheus import padded_cache_length
 mask0 = jnp.zeros((1, 1, 1, padded_cache_length(cfg)), jnp.float32)
 
 
+# params/cache ride as ARGUMENTS: closure-captured device arrays are baked
+# into the lowered HLO as CONSTANTS (2.8 GB here), which makes lowering take
+# tens of minutes and ships the bytes to the compiler — the r4/r5 runs of
+# this tool never finished because of it
 @jax.jit
-def probe(n_body, n_head, n_sample, n_attn, n_linears, cache):
+def probe(params, n_body, n_head, n_sample, n_attn, n_linears, cache):
     # body: one full transformer step; the cache rides the loop carry so its
     # update is in-place (as in the production decode loop) — a read-only
     # cache would force a 360 MB copy-on-write per iteration
@@ -143,7 +147,8 @@ def wall(counts):
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(probe(*[jnp.asarray(c, jnp.int32) for c in counts], cache))
+        np.asarray(probe(params,
+                         *[jnp.asarray(c, jnp.int32) for c in counts], cache))
         best = min(best, time.perf_counter() - t0)
     return best
 
