@@ -22,7 +22,9 @@ def q4(K, N):
 H = cfg.hidden_size
 params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H))*0.02).astype(np.float32)).astype(jnp.bfloat16),
           # tile-padded quantized head, as the real Q4 loader produces
-          "head": q4(H, ((cfg.vocab_size + 255) // 256) * 256),
+          # HEADPAD=256 reproduces the pre-r5 256-padded head for A/Bs
+          "head": q4(H, -(-cfg.vocab_size // int(os.environ.get("HEADPAD", "1024")))
+                     * int(os.environ.get("HEADPAD", "1024"))),
           "out_norm": jnp.ones(H, jnp.float32),
           "rope_factors": jnp.ones(cfg.head_size // 2, jnp.float32), "layers": []}
 for _ in range(cfg.n_layers):

@@ -51,7 +51,7 @@ def qw(K, N):
 H = cfg.hidden_size
 params = {"embd": jnp.asarray((rng.standard_normal((cfg.vocab_size, H)) * 0.02)
                               .astype(np.float32)).astype(jnp.bfloat16),
-          "head": qw(H, ((cfg.vocab_size + 255) // 256) * 256),
+          "head": qw(H, ((cfg.vocab_size + 1023) // 1024) * 1024),
           "out_norm": jnp.ones(H, jnp.float32),
           "rope_factors": jnp.ones(cfg.head_size // 2, jnp.float32),
           "layers": []}

@@ -125,12 +125,15 @@ def load_orpheus_params(tensors: dict, cfg: OrpheusConfig, dtype=jnp.bfloat16) -
         slices the pad off."""
         t = raw(name)
         pad_n = name.endswith("lm_head")
+        # the wide lm_head pads to 1024 columns so the whole-K kernel can
+        # ride tn=1024 (qmatmul_chain probe: 587 vs 694 us, +0.3% bytes)
+        tile = 1024 if pad_n and t.shape[0] >= 65536 else 256
         if isinstance(t, GGUFTensor) and t.shape[1] % 32 == 0:
             if t.ggml_type == GGMLType.Q4_0 and t.shape[1] % 64 == 0:
                 from tts_tpu.ops.qmatmul import pack_q4_weight
-                return pack_q4_weight(t, pad_n=pad_n)
+                return pack_q4_weight(t, pad_n=pad_n, tile_n=tile)
             if t.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0):
-                return pack_q8_weight(t, pad_n=pad_n)
+                return pack_q8_weight(t, pad_n=pad_n, tile_n=tile)
         return {"w": get(name).T}
 
     def fuse(parts):

@@ -15,6 +15,7 @@ input dimension; a GGUF [out, in] tensor transposes to this layout).
 from __future__ import annotations
 
 
+import os
 from functools import partial
 
 import jax
@@ -22,6 +23,37 @@ import jax.numpy as jnp
 import numpy as np
 
 QBLOCK = 32
+
+
+def _default_m_cap() -> int:
+    """Module default for `block_diag_m_cap`, env-overridable for on-TPU
+    A/Bs (TTS_TPU_BLOCKDIAG_CAP=0 routes every M through the whole-K
+    kernels).  Read at trace time only — zero per-step cost."""
+    return int(os.environ.get("TTS_TPU_BLOCKDIAG_CAP", "1"))
+
+
+def _block_diag_k_ok(K: int) -> bool:
+    """Env-gated K ceiling for the block-diagonal path
+    (TTS_TPU_BLOCKDIAG_K_CAP=<K>, 0/unset = no ceiling): the round-5
+    qmatmul_chain probe measured the M=1 block-diag kernel at 168 GB/s on
+    the K=8192 down projection vs 425 GB/s whole-K — this knob lets the
+    model-level A/B route ONLY big-K shapes to whole-K."""
+    cap = int(os.environ.get("TTS_TPU_BLOCKDIAG_K_CAP", "0"))
+    return cap == 0 or K <= cap
+
+
+def _auto_tile_n(k_bytes: int, N: int) -> int:
+    """Whole-K kernel N-tile when the caller didn't pass one, from the
+    round-5 qmatmul_chain probe (tools/README.md): tn=512 beats 256 by
+    ~10-20% on qkv/gateup-shaped stripes while the weight block
+    (k_bytes * tn) stays <= 1 MB (down at 2 MB regressed); very wide
+    outputs (the 157k lm_head) are fastest at tn=1024 (587 vs 694 us,
+    weight block 1.5 MB)."""
+    if N >= 65536 and N % 1024 == 0 and k_bytes * 1024 <= (1 << 21):
+        return 1024
+    if N % 512 == 0 and k_bytes * 512 <= (1 << 20):
+        return 512
+    return 256
 
 
 def _pad_n(arr: np.ndarray, tile: int) -> np.ndarray:
@@ -194,22 +226,29 @@ def _pick_tiles(K: int, N: int, max_bytes: int = 1 << 21, M: int = 1,
     return None
 
 
-def quantized_matmul(x, wq, scales, *, tile_n: int = 256,
+def quantized_matmul(x, wq, scales, *, tile_n: int | None = None,
                      interpret: bool | None = None,
-                     block_diag_m_cap: int = 1):
+                     block_diag_m_cap: int | None = None):
     """x [M, K] @ dequant(wq [K, N], scales [K//32, N]) -> [M, N] f32.
 
     `block_diag_m_cap` routes M <= cap through the block-diagonal decode
-    kernel; the default 1 is the measured-optimal config (round-4 A/B — see
-    below).  Tests/experiments may raise it to exercise the M > 1 kernel."""
+    kernel; the default (env TTS_TPU_BLOCKDIAG_CAP, normally 1) is the
+    measured-optimal config (round-4 A/B — see below).  Tests/experiments
+    may raise it to exercise the M > 1 kernel.  `tile_n=None` picks the
+    whole-K N tile per shape (`_auto_tile_n`)."""
     from jax.experimental import pallas as pl
 
     if x.ndim == 1:
         return quantized_matmul(x[None], wq, scales, tile_n=tile_n,
-                                interpret=interpret)[0]
+                                interpret=interpret,
+                                block_diag_m_cap=block_diag_m_cap)[0]
     M, K = x.shape
     Kw, N = wq.shape
     assert Kw == K and scales.shape == (K // QBLOCK, N)
+    if block_diag_m_cap is None:
+        block_diag_m_cap = _default_m_cap()
+    if tile_n is None:
+        tile_n = _auto_tile_n(K, N)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if N % tile_n != 0:
@@ -225,7 +264,8 @@ def quantized_matmul(x, wq, scales, *, tile_n: int = 256,
     # 449 vs 517 tok/s — the M-fold activation expansion + shrunken K chunks
     # cost more than the whole-K `_qmm_kernel` below, so M > 1 takes that
     # path (measured -> reverted, VERDICT r3 item 2c).
-    tiles = _pick_tiles(K, N, M=M) if M <= block_diag_m_cap else None
+    tiles = (_pick_tiles(K, N, M=M)
+             if M <= block_diag_m_cap and _block_diag_k_ok(K) else None)
     if tiles is not None:
         kt, tn = tiles
         return pl.pallas_call(
@@ -361,21 +401,25 @@ def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
         out_ref[:] = out_ref[:] + part
 
 
-def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
+def quantized_matmul_q4(x, wq4, scales, *, tile_n: int | None = None,
                         interpret: bool | None = None,
-                        block_diag_m_cap: int = 1):
+                        block_diag_m_cap: int | None = None):
     """x [M, K] @ dequant(packed wq4 [K//2, N], scales [K//32, N]) -> [M, N].
 
-    `block_diag_m_cap` as in `quantized_matmul` (default 1 = measured
-    optimum)."""
+    `block_diag_m_cap` / `tile_n` as in `quantized_matmul`."""
     from jax.experimental import pallas as pl
 
     if x.ndim == 1:
         return quantized_matmul_q4(x[None], wq4, scales, tile_n=tile_n,
-                                   interpret=interpret)[0]
+                                   interpret=interpret,
+                                   block_diag_m_cap=block_diag_m_cap)[0]
     M, K = x.shape
     Kh, N = wq4.shape
     assert Kh * 2 == K and scales.shape == (K // QBLOCK, N)
+    if block_diag_m_cap is None:
+        block_diag_m_cap = _default_m_cap()
+    if tile_n is None:
+        tile_n = _auto_tile_n(Kh, N)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if N % tile_n != 0 or K % (2 * QBLOCK) != 0:
@@ -387,7 +431,7 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int = 256,
     # default cap M == 1 — the M <= 8 block-diagonal extension measured
     # slower (see quantized_matmul)
     tiles = (_pick_tiles(K // 2, N, max_bytes=1 << 20, M=M, macs_cap=2048)
-             if M <= block_diag_m_cap else None)
+             if M <= block_diag_m_cap and _block_diag_k_ok(K) else None)
     if tiles is not None:
         kth, tn = tiles
         hi_off = K // (2 * kth)        # chunk-row offset of the high-nibble
@@ -446,12 +490,15 @@ def pack_linear(tensor, *, pad_n: bool = False):
 
     if not isinstance(tensor, GGUFTensor):
         return None
-    if tensor.shape[1] % QBLOCK != 0 or tensor.shape[0] % 256 != 0:
+    if tensor.shape[1] % QBLOCK != 0 or (not pad_n and tensor.shape[0] % 256 != 0):
         return None
+    # wide padded heads take 1024-column padding for the tn=1024 whole-K
+    # tile (see `_auto_tile_n`)
+    tile = 1024 if pad_n and tensor.shape[0] >= 65536 else 256
     if tensor.ggml_type == GGMLType.Q4_0 and tensor.shape[1] % 64 == 0:
-        return pack_q4_weight(tensor, pad_n=pad_n)
+        return pack_q4_weight(tensor, pad_n=pad_n, tile_n=tile)
     if tensor.ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q5_0):
-        return pack_q8_weight(tensor, pad_n=pad_n)
+        return pack_q8_weight(tensor, pad_n=pad_n, tile_n=tile)
     return None
 
 
