@@ -63,7 +63,7 @@ N = int(os.environ.get("N", "420"))   # 60 SNAC frames
 # sampled modes use the reference defaults (temp 0.7, top-p 0.95, rep 1.1)
 SAMP = dict(temperature=0.7, top_p=0.95, repetition_penalty=1.1)
 
-K_DRAFT = 7
+K_DRAFT = int(os.environ.get("K", "7"))   # draft window (verify T = K+1)
 
 
 def replay_acceptance(stream: np.ndarray, first: int):
@@ -88,10 +88,15 @@ def replay_acceptance(stream: np.ndarray, first: int):
         for j in range(1, max(i - 1, 0) - 1):
             if out[j] == prev and out[j - 1] == prev2:
                 best = j + 1
+        # the device drafter reads `out` with rows >= i still holding fill
+        # (stopping_token_id), NOT the future stream — mask before slicing
+        # so the replay stays exact for draft windows that cross i (K > 7)
+        src_buf = out.copy()
+        src_buf[i:] = cfg.stopping_token_id
         if best >= 0:
-            drafts = out[best: best + K_DRAFT]
+            drafts = src_buf[best: best + K_DRAFT]
         elif i >= 7:
-            drafts = out[i - 7: i - 7 + K_DRAFT]
+            drafts = src_buf[i - 7: i - 7 + K_DRAFT]
         n_acc = 0
         for d, g in zip(drafts, out[i: i + K_DRAFT]):
             if d == g and i + n_acc < n - 1:
@@ -133,14 +138,14 @@ for name in ("seq", "spec", "seq_sample", "stream_seq", "stream_spec"):
             from tts_tpu.models.orpheus import orpheus_decode_loop_spec_resume
             i_cum, pos, tok_carry = 0, T, first
             if name == "stream_spec":
-                out = jnp.full((cfg.max_generation_size + 7 + 1,),
+                out = jnp.full((cfg.max_generation_size + K_DRAFT + 1,),
                                cfg.stopping_token_id, jnp.int32)
                 while i_cum < N:
                     out, i_new, cache = orpheus_decode_loop_spec_resume(
                         params, cfg, tok_carry, jnp.asarray(pos, jnp.int32),
                         jnp.asarray(i_cum, jnp.int32),
                         jnp.asarray(min(i_cum + CHUNK, N), jnp.int32),
-                        cache, out, max_steps=cfg.max_generation_size, k=7)
+                        cache, out, max_steps=cfg.max_generation_size, k=K_DRAFT)
                     host = np.asarray(out)     # full-buffer readback per chunk
                     i_new = int(i_new)
                     pos += i_new - i_cum
@@ -172,7 +177,7 @@ for name in ("seq", "spec", "seq_sample", "stream_seq", "stream_spec"):
             out, n, cache = orpheus_decode_loop_spec(
                 params, cfg, first, jnp.asarray(T, jnp.int32),
                 jnp.asarray(N, jnp.int32), cache,
-                max_steps=cfg.max_generation_size,
+                max_steps=cfg.max_generation_size, k=K_DRAFT,
                 force_miss=os.environ.get("FORCE_MISS") == "1")
         n_host = int(np.asarray(n))   # transfer forces completion
         dt = time.time() - t0

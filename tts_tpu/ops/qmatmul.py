@@ -42,13 +42,18 @@ def _block_diag_k_ok(K: int) -> bool:
     return cap == 0 or K <= cap
 
 
-def _auto_tile_n(k_bytes: int, N: int) -> int:
+def _auto_tile_n(k_bytes: int, N: int, M: int = 1) -> int:
     """Whole-K kernel N-tile when the caller didn't pass one, from the
     round-5 qmatmul_chain probe (tools/README.md): tn=512 beats 256 by
     ~10-20% on qkv/gateup-shaped stripes while the weight block
     (k_bytes * tn) stays <= 1 MB (down at 2 MB regressed); very wide
     outputs (the 157k lm_head) are fastest at tn=1024 (587 vs 694 us,
-    weight block 1.5 MB)."""
+    weight block 1.5 MB).  Decode-sized M only: at prefill/cross-KV M
+    (hundreds-plus) the resident x [M, K] + out [M, tn] f32 leave no VMEM
+    headroom for wider weight tiles (dia_cross_kv at M=2048 tn=512 OOMed
+    scoped vmem by 0.5 MB), so large M keeps the proven 256."""
+    if M > 16:
+        return 256
     if N >= 65536 and N % 1024 == 0 and k_bytes * 1024 <= (1 << 21):
         return 1024
     if N % 512 == 0 and k_bytes * 512 <= (1 << 20):
@@ -248,7 +253,7 @@ def quantized_matmul(x, wq, scales, *, tile_n: int | None = None,
     if block_diag_m_cap is None:
         block_diag_m_cap = _default_m_cap()
     if tile_n is None:
-        tile_n = _auto_tile_n(K, N)
+        tile_n = _auto_tile_n(K, N, M)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if N % tile_n != 0:
@@ -419,7 +424,7 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int | None = None,
     if block_diag_m_cap is None:
         block_diag_m_cap = _default_m_cap()
     if tile_n is None:
-        tile_n = _auto_tile_n(Kh, N)
+        tile_n = _auto_tile_n(Kh, N, M)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if N % tile_n != 0 or K % (2 * QBLOCK) != 0:
