@@ -214,3 +214,18 @@ def test_q4_packed_matmul_matches_int8(rng):
     c = np.asarray(quantized_matmul_q4(jnp.asarray(x), jnp.asarray(packed),
                                        jnp.asarray(scales), tile_n=500))
     np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-6)
+
+
+def test_auto_tile_n_vmem_rules():
+    """The whole-K auto N-tile (r5 qmatmul_chain probe) must stay at 256
+    for prefill-sized M: dia_cross_kv (M=2048, Kh=512, N=2048) OOMed
+    scoped vmem at tn=512 because x [M, K] + out [M, tn] stay resident."""
+    from tts_tpu.ops.qmatmul import _auto_tile_n
+
+    # decode-sized M gets the probe-backed wider tiles
+    assert _auto_tile_n(1536, 5120, M=1) == 512        # orpheus qkv (q4)
+    assert _auto_tile_n(1536, 157696, M=9) == 1024     # padded lm_head
+    assert _auto_tile_n(4096, 3072, M=1) == 256        # down: 512*4096 = 2 MB
+    # prefill / cross-KV M keeps 256 regardless of shape
+    assert _auto_tile_n(512, 2048, M=2048) == 256      # dia_cross_kv repro
+    assert _auto_tile_n(1536, 5120, M=64) == 256
