@@ -408,16 +408,20 @@ def _qmv4_kernel(xdlo_ref, xdhi_ref, sclo_ref, schi_ref, wq_ref, out_ref):
 
 def quantized_matmul_q4(x, wq4, scales, *, tile_n: int | None = None,
                         interpret: bool | None = None,
-                        block_diag_m_cap: int | None = None):
+                        block_diag_m_cap: int | None = None,
+                        block_diag_tiles: tuple | None = None):
     """x [M, K] @ dequant(packed wq4 [K//2, N], scales [K//32, N]) -> [M, N].
 
-    `block_diag_m_cap` / `tile_n` as in `quantized_matmul`."""
+    `block_diag_m_cap` / `tile_n` as in `quantized_matmul`.
+    `block_diag_tiles=(kth, tn)` overrides `_pick_tiles` for the
+    block-diagonal kernel (probe/experiment use: tools/qmv_down_sweep.py)."""
     from jax.experimental import pallas as pl
 
     if x.ndim == 1:
         return quantized_matmul_q4(x[None], wq4, scales, tile_n=tile_n,
                                    interpret=interpret,
-                                   block_diag_m_cap=block_diag_m_cap)[0]
+                                   block_diag_m_cap=block_diag_m_cap,
+                                   block_diag_tiles=block_diag_tiles)[0]
     M, K = x.shape
     Kh, N = wq4.shape
     assert Kh * 2 == K and scales.shape == (K // QBLOCK, N)
@@ -435,8 +439,10 @@ def quantized_matmul_q4(x, wq4, scales, *, tile_n: int | None = None,
 
     # default cap M == 1 — the M <= 8 block-diagonal extension measured
     # slower (see quantized_matmul)
-    tiles = (_pick_tiles(K // 2, N, max_bytes=1 << 20, M=M, macs_cap=2048)
-             if M <= block_diag_m_cap and _block_diag_k_ok(K) else None)
+    tiles = block_diag_tiles
+    if tiles is None:
+        tiles = (_pick_tiles(K // 2, N, max_bytes=1 << 20, M=M, macs_cap=2048)
+                 if M <= block_diag_m_cap and _block_diag_k_ok(K) else None)
     if tiles is not None:
         kth, tn = tiles
         hi_off = K // (2 * kth)        # chunk-row offset of the high-nibble
